@@ -1,0 +1,185 @@
+"""aule-tpu: a TPU-native FlashAttention-2 engine (JAX / XLA / Pallas).
+
+Brand-new implementation of the capability surface of the reference
+`aule-attention` library (see /root/repo/SURVEY.md): one public
+`flash_attention(q, k, v, ...)` entry point with swappable backends
+(pallas -> xla -> numpy instead of triton -> vulkan -> cpu,
+python/aule/__init__.py:104-275), fused RoPE, GQA/MQA, cross-attention,
+causal + sliding-window masks, a trainable backward pass, paged (vLLM-style)
+decode over a block-table KV cache, top-k "gravity" attention — extended
+with TPU-first capabilities the reference lacks: bf16/fp8/int8 KV, sharded
+attention over a `jax.sharding.Mesh`, and a continuous-batching serving
+engine.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .backends import (
+    get_available_backends,
+    get_backend_errors,
+    get_backend_info,
+    print_backend_info,
+    select_backend,
+)
+from .config import AuleConfig, get_config, set_config
+from .ops.reference import (
+    attention_reference,
+    attention_reference_numpy,
+    paged_attention_reference,
+)
+from .ops.rope import apply_rope, precompute_rope_frequencies
+
+__version__ = "0.1.0"
+
+logger = logging.getLogger("aule_tpu")
+
+
+def _validate(q, k, v) -> None:
+    """Shape/GQA validation, mirroring python/aule/__init__.py:140-160."""
+    if q.ndim != 4 or k.ndim != 4 or v.ndim != 4:
+        raise ValueError(
+            f"q/k/v must be 4-D [batch, heads, seq, head_dim]; got "
+            f"{q.shape}, {k.shape}, {v.shape}"
+        )
+    if q.shape[0] != k.shape[0] or q.shape[0] != v.shape[0]:
+        raise ValueError("batch dims must match")
+    if q.shape[3] != k.shape[3] or q.shape[3] != v.shape[3]:
+        raise ValueError("head_dim must match across q/k/v")
+    if k.shape != v.shape:
+        raise ValueError(f"k and v shapes must match; got {k.shape} vs {v.shape}")
+    hq, hkv = q.shape[1], k.shape[1]
+    if hq % hkv != 0:
+        raise ValueError(
+            f"num q heads ({hq}) must be divisible by kv heads ({hkv})"
+        )
+
+
+def flash_attention(
+    q,
+    k,
+    v,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    window_size: int = -1,
+    rope_cos=None,
+    rope_sin=None,
+    backend: Optional[str] = None,
+):
+    """Fused multi-head attention over [batch, heads, seq, head_dim].
+
+    Public entry point, same contract as the reference's
+    `aule.flash_attention` (python/aule/__init__.py:104-244):
+
+    Args:
+      q: [B, Hq, Sq, D]; k, v: [B, Hkv, Sk, D] with Hq % Hkv == 0 (GQA/MQA)
+         and Sq != Sk allowed (cross-attention).
+      causal: apply causal mask (q_idx >= k_idx).
+      scale: softmax scale; defaults to 1/sqrt(D).
+      window_size: sliding window (tokens); -1 disables.  Causal windows
+        allow k in [q - W, q]; bidirectional windows allow |q - k| <= W.
+      rope_cos / rope_sin: optional [S, D/2] tables for fused RoPE on Q & K
+        (half-split convention; see ops/rope.py).
+      backend: force 'pallas' | 'xla' | 'numpy'; default auto-selects.
+
+    Returns an array shaped like q, in q's dtype.
+    """
+    _validate(q, k, v)
+    chosen = select_backend(backend)
+    if get_config().verbose:
+        logger.info("flash_attention backend=%s q=%s k=%s", chosen, q.shape, k.shape)
+
+    if chosen == "pallas":
+        from .ops.flash import flash_attention_pallas
+
+        return flash_attention_pallas(
+            q, k, v,
+            causal=causal,
+            scale=scale,
+            window_size=window_size,
+            rope_cos=rope_cos,
+            rope_sin=rope_sin,
+        )
+    if chosen == "xla":
+        return attention_reference(
+            q, k, v,
+            causal=causal,
+            scale=scale,
+            window_size=window_size,
+            rope_cos=rope_cos,
+            rope_sin=rope_sin,
+        )
+    # numpy fallback
+    if rope_cos is not None:
+        qr = apply_rope(jnp.asarray(q, jnp.float32), rope_cos, rope_sin)
+        kr = apply_rope(jnp.asarray(k, jnp.float32), rope_cos, rope_sin)
+        q, k = np.asarray(qr), np.asarray(kr)
+    out = attention_reference_numpy(
+        np.asarray(q), np.asarray(k), np.asarray(v),
+        causal=causal, scale=scale, window_size=window_size,
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# install()/uninstall(): global default-backend switch + integration patch
+# (reference: python/aule/__init__.py:353-442)
+# ---------------------------------------------------------------------------
+
+_installed = False
+_forced_backend: Optional[str] = None
+
+
+def install(backend: Optional[str] = None, verbose: bool = False) -> None:
+    """Set a global backend default and patch jax.nn.dot_product_attention.
+
+    Analog of the reference's SDPA monkeypatch installer
+    (python/aule/__init__.py:353-421).
+    """
+    global _installed, _forced_backend
+    cfg = get_config()
+    cfg.backend = backend
+    cfg.verbose = verbose
+    _forced_backend = backend
+    from .integration.patching import install_sdpa_patch
+
+    install_sdpa_patch(backend=backend)
+    _installed = True
+    if verbose:
+        print_backend_info()
+
+
+def uninstall() -> None:
+    """Undo install(): restore jax.nn.dot_product_attention, clear force."""
+    global _installed, _forced_backend
+    get_config().backend = None
+    _forced_backend = None
+    from .integration.patching import uninstall_sdpa_patch
+
+    uninstall_sdpa_patch()
+    _installed = False
+
+
+__all__ = [
+    "flash_attention",
+    "attention_reference",
+    "attention_reference_numpy",
+    "paged_attention_reference",
+    "precompute_rope_frequencies",
+    "apply_rope",
+    "get_available_backends",
+    "get_backend_errors",
+    "get_backend_info",
+    "print_backend_info",
+    "install",
+    "uninstall",
+    "AuleConfig",
+    "get_config",
+    "set_config",
+    "__version__",
+]

@@ -1,0 +1,119 @@
+"""Global configuration for aule-tpu.
+
+The reference library scatters configuration over env vars, install() args,
+a shader-variant enum and hard-coded constants (see /root/reference
+src/backends/backend.zig:86-99, python/aule/__init__.py:353-421).  Here the
+equivalent is one dataclass with env-var overrides, plus a per-TPU-generation
+tile table that replaces the reference's shader-variant selection
+(src/attention_gpu.zig:187-224).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+def _env_str(name: str, default: Optional[str]) -> Optional[str]:
+    v = os.environ.get(name)
+    return v if v else default
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.lower() in ("1", "true", "yes", "on")
+
+
+@dataclasses.dataclass
+class TileConfig:
+    """Kernel tile sizes for one device generation / dtype regime.
+
+    Plays the role of the reference's shader-variant enum
+    (baseline/fast/fp16/fp16_amd, src/attention_gpu.zig:22-27): instead of
+    swapping shaders we swap Pallas block sizes.
+    """
+
+    block_q: int = 256
+    block_kv: int = 512
+    block_kv_compute: int = 256
+    # backward tiles
+    block_q_dkv: int = 128
+    block_kv_dkv: int = 256
+    block_q_dq: int = 256
+    block_kv_dq: int = 128
+    # paged decode
+    pages_per_compute_block: int = 8
+
+
+# Per-generation tuned tiles.  Keys match jax device_kind prefixes.
+TILE_TABLE = {
+    "default": TileConfig(),
+    # v5e: 128 MiB VMEM/core, 1 MXU per core
+    "v5 lite": TileConfig(block_q=256, block_kv=512, block_kv_compute=512),
+    "v5e": TileConfig(block_q=256, block_kv=512, block_kv_compute=512),
+    "v5p": TileConfig(block_q=512, block_kv=1024, block_kv_compute=512),
+    "v6": TileConfig(block_q=512, block_kv=1024, block_kv_compute=512),
+}
+
+
+@dataclasses.dataclass
+class AuleConfig:
+    """Library-wide settings, overridable via environment.
+
+    Env vars (analogous to the reference's AULE_BACKEND):
+      AULE_TPU_BACKEND     = pallas | xla | numpy   (force backend)
+      AULE_TPU_INTERPRET   = 1                      (Pallas interpreter mode)
+      AULE_TPU_VERBOSE     = 1                      (per-call debug logs)
+    """
+
+    backend: Optional[str] = None  # None = auto-detect
+    interpret: bool = False
+    verbose: bool = False
+    # paged KV-cache defaults (reference: block_size=32, pool 512..8192
+    # blocks, src/block_pool.zig:9-16; BASELINE decode config uses block=16)
+    page_size: int = 16
+    initial_pages: int = 512
+    max_pages: int = 8192
+    max_pages_per_seq: int = 256
+
+    @classmethod
+    def from_env(cls) -> "AuleConfig":
+        return cls(
+            backend=_env_str("AULE_TPU_BACKEND", None),
+            interpret=_env_bool("AULE_TPU_INTERPRET", False),
+            verbose=_env_bool("AULE_TPU_VERBOSE", False),
+        )
+
+
+_config: Optional[AuleConfig] = None
+
+
+def get_config() -> AuleConfig:
+    global _config
+    if _config is None:
+        _config = AuleConfig.from_env()
+    return _config
+
+
+def set_config(cfg: AuleConfig) -> None:
+    global _config
+    _config = cfg
+
+
+def get_tile_config(device_kind: Optional[str] = None) -> TileConfig:
+    """Pick tile sizes for the current (or given) device kind."""
+    if device_kind is None:
+        try:
+            import jax
+
+            device_kind = jax.devices()[0].device_kind.lower()
+        except Exception:  # pragma: no cover - no devices at all
+            device_kind = "default"
+    device_kind = device_kind.lower()
+    for key, tiles in TILE_TABLE.items():
+        if key != "default" and key in device_kind:
+            return tiles
+    return TILE_TABLE["default"]

@@ -1,0 +1,327 @@
+"""FlashAttention-2 forward Pallas kernel (Mosaic-TPU).
+
+TPU-native re-design of the reference's forward kernels (the Triton FA-2
+kernel python/aule/triton_flash.py:62-235 and the GLSL "fast" shader
+shaders/attention_f32_fast.comp): online softmax with running (m, l) and an
+unnormalized accumulator, GQA head mapping, causal and sliding-window masks
+with *block-level skipping*, fused half-split RoPE on Q and K, NaN-safe
+fully-masked rows, and an LSE output for training.
+
+TPU mapping decisions (vs the reference's GPU design):
+  * grid = (batch, q_heads, q_blocks, kv_blocks); kv dim is the online
+    softmax reduction ("arbitrary"), the rest are "parallel" for megacore.
+  * Block skipping is done twice: compute is skipped with @pl.when, and the
+    K/V *DMA* is skipped by clamping the kv index map into the live range
+    for the current q block — Pallas elides a DMA when the block index
+    repeats, so masked-out tiles cost neither FLOPs nor bandwidth (the
+    analog of attention_f32_fast.comp:119-155's first/last_kv_block calc).
+  * Softmax stats live in VMEM scratch replicated over 128 lanes; matmuls
+    accumulate in f32 via preferred_element_type regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import get_config, get_tile_config
+
+NUM_LANES = 128
+DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def _kv_live_range(i, *, block_q, block_kv, causal, window, seq_k, n_kv):
+    """Block-index interval [lo, hi] of kv blocks q-block `i` can see.
+
+    Implements the reference's block-skip algebra
+    (attention_f32_fast.comp:119-155 / triton_flash.py:134-152) at tile
+    granularity.  Returns traced int32 scalars usable in index maps.
+    """
+    q_lo = i * block_q
+    q_hi = (i + 1) * block_q - 1  # inclusive last q row of the block
+    if causal:
+        k_max = q_hi  # inclusive
+        k_min = jnp.maximum(0, q_lo - window) if window > 0 else 0
+    else:
+        k_max = seq_k - 1
+        k_min = 0
+        if window > 0:
+            k_min = jnp.maximum(0, q_lo - window)
+            k_max = jnp.minimum(seq_k - 1, q_hi + window)
+    lo = k_min // block_kv if window > 0 or causal else 0
+    hi = k_max // block_kv
+    lo = jnp.clip(lo, 0, n_kv - 1)
+    hi = jnp.clip(hi, 0, n_kv - 1)
+    return lo, hi
+
+
+def _apply_rope_tile(x, cos, sin):
+    """Half-split rotation of a [rows, D] tile with [rows, D/2] tables."""
+    half = x.shape[-1] // 2
+    x1 = x[..., :half]
+    x2 = x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+
+def _fwd_kernel(
+    # refs (rope tables present only when use_rope)
+    *refs,
+    scale: float,
+    causal: bool,
+    window: int,
+    block_q: int,
+    block_kv: int,
+    seq_q: int,
+    seq_k: int,
+    n_kv: int,
+    use_rope: bool,
+):
+    if use_rope:
+        (q_ref, k_ref, v_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref,
+         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    lo, hi = _kv_live_range(
+        i, block_q=block_q, block_kv=block_kv, causal=causal,
+        window=window, seq_k=seq_k, n_kv=n_kv,
+    )
+    should_run = jnp.logical_and(j >= lo, j <= hi)
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # [block_q, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [block_kv, D]
+        if use_rope:
+            q_rot = _apply_rope_tile(
+                q, cosq_ref[...].astype(jnp.float32),
+                sinq_ref[...].astype(jnp.float32))
+            k_rot = _apply_rope_tile(
+                k, cosk_ref[...].astype(jnp.float32),
+                sink_ref[...].astype(jnp.float32))
+        else:
+            q_rot, k_rot = q, k
+
+        s = jax.lax.dot_general(
+            q_rot, k_rot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, block_kv]
+        s *= scale
+
+        # element-level mask: bounds + causal + window
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
+        mask = cols < seq_k
+        if causal:
+            mask = jnp.logical_and(mask, rows >= cols)
+        if window > 0:
+            mask = jnp.logical_and(mask, rows - cols <= window)
+            if not causal:
+                mask = jnp.logical_and(mask, cols - rows <= window)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]  # [block_q, 128] lane-replicated
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_next)
+
+        p = jnp.exp(s - m_next[:, :1])
+        # NaN safety for fully-masked rows (triton_flash.py:201-220): a row
+        # whose running max is still the mask value must contribute nothing.
+        p = jnp.where(mask, p, 0.0)
+
+        l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = jnp.broadcast_to(l_next[:, :1], l_prev.shape)
+
+        v = v_ref[0, 0].astype(jnp.float32)
+        o_curr = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
+
+    @pl.when(j == n_kv - 1)
+    def _store():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        m = m_scr[:, 0]
+        lv = l_scr[:, 0]
+        lse = jnp.where(lv > 0.0, m + jnp.log(lv), DEFAULT_MASK_VALUE)
+        lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+
+
+def flash_attention_fwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    window_size: int = -1,
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward flash attention; returns (out [B,Hq,Sq,D], lse [B,Hq,Sq]).
+
+    Accepts unpadded shapes; pads Sq/Sk up to tile multiples internally and
+    masks the padding (the reference's bounds masks, triton_flash.py:197-199).
+    """
+    batch, hq, seq_q, d = q.shape
+    hkv, seq_k = k.shape[1], k.shape[2]
+    group = hq // hkv
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d))
+    window = int(window_size) if window_size and window_size > 0 else -1
+
+    tiles = get_tile_config()
+    bq = block_q or min(tiles.block_q, _round_up(seq_q, 128))
+    bkv = block_kv or min(tiles.block_kv, _round_up(seq_k, 128))
+    bq = min(bq, _round_up(seq_q, 8))
+    bkv = min(bkv, _round_up(seq_k, 128))
+
+    sq_pad = _round_up(seq_q, bq)
+    sk_pad = _round_up(seq_k, bkv)
+    if sq_pad != seq_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - seq_q), (0, 0)))
+    if sk_pad != seq_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - seq_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - seq_k), (0, 0)))
+
+    n_q = sq_pad // bq
+    n_kv = sk_pad // bkv
+    grid = (batch, hq, n_q, n_kv)
+
+    use_rope = rope_cos is not None
+    half_d = d // 2
+
+    def kv_index(b, h, i, j):
+        lo, hi = _kv_live_range(
+            i, block_q=bq, block_kv=bkv, causal=causal, window=window,
+            seq_k=seq_k, n_kv=n_kv,
+        )
+        jc = jnp.clip(j, lo, hi)  # repeated index => DMA elided
+        return (b, h // group, jc, 0)
+
+    def kv_index_rope(b, h, i, j):
+        b_, h_, jc, z = kv_index(b, h, i, j)
+        return (jc, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bkv, d), kv_index),
+        pl.BlockSpec((1, 1, bkv, d), kv_index),
+    ]
+    args = [q, k, v]
+    if use_rope:
+        rope_cos = jnp.asarray(rope_cos, jnp.float32)
+        rope_sin = jnp.asarray(rope_sin, jnp.float32)
+        if rope_cos.shape[0] < sk_pad or rope_cos.shape[0] < sq_pad:
+            pad_to = max(sk_pad, sq_pad)
+            pad = pad_to - rope_cos.shape[0]
+            rope_cos = jnp.pad(rope_cos, ((0, max(pad, 0)), (0, 0)),
+                               constant_values=1.0)
+            rope_sin = jnp.pad(rope_sin, ((0, max(pad, 0)), (0, 0)))
+        in_specs += [
+            pl.BlockSpec((bq, half_d), lambda b, h, i, j: (i, 0)),
+            pl.BlockSpec((bq, half_d), lambda b, h, i, j: (i, 0)),
+            pl.BlockSpec((bkv, half_d), kv_index_rope),
+            pl.BlockSpec((bkv, half_d), kv_index_rope),
+        ]
+        args += [rope_cos, rope_sin, rope_cos, rope_sin]
+
+    out_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, hq, sq_pad, d), q.dtype),
+        jax.ShapeDtypeStruct((batch, hq, sq_pad), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # m
+        pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # l
+        pltpu.VMEM((bq, d), jnp.float32),          # acc
+    ]
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=float(scale), causal=causal, window=window,
+        block_q=bq, block_kv=bkv, seq_q=seq_q, seq_k=seq_k,
+        n_kv=n_kv, use_rope=use_rope,
+    )
+
+    if interpret is None:
+        interpret = get_config().interpret or (
+            jax.devices()[0].platform != "tpu"
+        )
+
+    flops = 4 * batch * hq * seq_q * seq_k * d
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=batch * hq * seq_q * seq_k,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    if sq_pad != seq_q:
+        out = out[:, :, :seq_q]
+        lse = lse[:, :, :seq_q]
+    return out, lse
+
+
+def flash_attention_pallas(
+    q, k, v, *,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    window_size: int = -1,
+    rope_cos=None,
+    rope_sin=None,
+):
+    """Differentiable public pallas-backend entry (custom_vjp lives in
+    flash_vjp.py; forward-only callers get just the output)."""
+    from .flash_vjp import flash_attention_vjp
+
+    return flash_attention_vjp(
+        q, k, v, causal, scale, window_size, rope_cos, rope_sin
+    )

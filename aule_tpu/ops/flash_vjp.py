@@ -1,0 +1,359 @@
+"""Trainable flash attention: custom_vjp with separate dQ and dKV kernels.
+
+The reference's backward (triton_flash.py:242-351, attention_backward_f32.comp)
+is KV-block-parallel and accumulates dQ (and dK/dV under GQA) with atomicAdd.
+TPU has no useful global atomics, and doesn't need them: we split the backward
+into
+  * a q-parallel dQ kernel (grid over q blocks, reducing over kv blocks), and
+  * a kv-parallel dK/dV kernel (grid over kv blocks, reducing over q blocks
+    and, for GQA, over the q-heads sharing each kv head),
+which is the idiomatic TPU decomposition (SURVEY.md §7 "hard parts").
+Residuals saved are (q, k, v, o, lse) exactly like the reference's
+ctx.save_for_backward (triton_flash.py:466-474); delta = rowsum(o * do) is
+precomputed once and shared by both kernels (the reference's delta kernel,
+triton_flash.py:353-379 — here a fused XLA reduction, no kernel needed).
+
+RoPE composes outside this op: rotation is linear and orthogonal, so autodiff
+through ops/rope.apply_rope gives exact gradients; the fused-RoPE kernel
+remains the inference fast path (matching the reference, whose backward also
+has no RoPE).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import get_config, get_tile_config
+from .flash import (
+    DEFAULT_MASK_VALUE,
+    NUM_LANES,
+    _cdiv,
+    _kv_live_range,
+    _round_up,
+    flash_attention_fwd,
+)
+
+
+def _q_live_range(j, *, block_q, block_kv, causal, window, seq_q, n_q):
+    """Inverse of _kv_live_range: q-block interval visible from kv block j."""
+    k_lo = j * block_kv
+    k_hi = (j + 1) * block_kv - 1
+    if causal:
+        q_min = k_lo  # q >= k
+        q_max = seq_q - 1
+        if window > 0:
+            q_max = jnp.minimum(q_max, k_hi + window)  # q - k <= W
+    else:
+        q_min = 0
+        q_max = seq_q - 1
+        if window > 0:
+            q_min = jnp.maximum(0, k_lo - window)
+            q_max = jnp.minimum(seq_q - 1, k_hi + window)
+    lo = q_min // block_q if causal or window > 0 else 0
+    hi = q_max // block_q
+    lo = jnp.clip(lo, 0, n_q - 1)
+    hi = jnp.clip(hi, 0, n_q - 1)
+    return lo, hi
+
+
+def _mask_tile(i, j, block_q, block_kv, *, causal, window, seq_q, seq_k):
+    shape = (block_q, block_kv)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * block_q
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + j * block_kv
+    mask = jnp.logical_and(cols < seq_k, rows < seq_q)
+    if causal:
+        mask = jnp.logical_and(mask, rows >= cols)
+    if window > 0:
+        mask = jnp.logical_and(mask, rows - cols <= window)
+        if not causal:
+            mask = jnp.logical_and(mask, cols - rows <= window)
+    return mask
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_acc,
+    *, scale, causal, window, block_q, block_kv, seq_q, seq_k, n_kv,
+):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    lo, hi = _kv_live_range(
+        i, block_q=block_q, block_kv=block_kv, causal=causal,
+        window=window, seq_k=seq_k, n_kv=n_kv,
+    )
+
+    @pl.when(jnp.logical_and(j >= lo, j <= hi))
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0].astype(jnp.float32)[:, None]
+        di = di_ref[0, 0].astype(jnp.float32)[:, None]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        mask = _mask_tile(i, j, block_q, block_kv, causal=causal,
+                          window=window, seq_q=seq_q, seq_k=seq_k)
+        p = jnp.exp(jnp.where(mask, s, DEFAULT_MASK_VALUE) - lse)
+        p = jnp.where(mask, p, 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di) * scale
+        dq_acc[...] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == n_kv - 1)
+    def _store():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, scale, causal, window, block_q, block_kv, seq_q, seq_k,
+    n_q, group,
+):
+    j = pl.program_id(2)
+    g = pl.program_id(3)
+    qi = pl.program_id(4)
+
+    @pl.when(jnp.logical_and(g == 0, qi == 0))
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    lo, hi = _q_live_range(
+        j, block_q=block_q, block_kv=block_kv, causal=causal,
+        window=window, seq_q=seq_q, n_q=n_q,
+    )
+
+    @pl.when(jnp.logical_and(qi >= lo, qi <= hi))
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0].astype(jnp.float32)[:, None]
+        di = di_ref[0, 0].astype(jnp.float32)[:, None]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        mask = _mask_tile(qi, j, block_q, block_kv, causal=causal,
+                          window=window, seq_q=seq_q, seq_k=seq_k)
+        p = jnp.exp(jnp.where(mask, s, DEFAULT_MASK_VALUE) - lse)
+        p = jnp.where(mask, p, 0.0)
+
+        # dV += P^T @ dO
+        dv_acc[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dS = P * (dP - di) * scale; dK += dS^T @ Q
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di) * scale
+        dk_acc[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    last = jnp.logical_and(g == pl.num_programs(3) - 1, qi == n_q - 1)
+
+    @pl.when(last)
+    def _store():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
+              interpret=None):
+    batch, hq, seq_q, d = q.shape
+    hkv, seq_k = k.shape[1], k.shape[2]
+    group = hq // hkv
+
+    tiles = get_tile_config()
+    bq = min(tiles.block_q_dq, _round_up(seq_q, 8))
+    bkv = min(tiles.block_kv_dkv, _round_up(seq_k, 128))
+
+    sq_pad = _round_up(seq_q, bq)
+    sk_pad = _round_up(seq_k, bkv)
+
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+
+    def pad_seq(x, target, axis=2):
+        pad = target - x.shape[axis]
+        if pad == 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths)
+
+    qp = pad_seq(q, sq_pad)
+    dop = pad_seq(do, sq_pad)
+    lsep = pad_seq(lse, sq_pad)
+    dip = pad_seq(di, sq_pad)
+    kp = pad_seq(k, sk_pad)
+    vp = pad_seq(v, sk_pad)
+
+    n_q = sq_pad // bq
+    n_kv = sk_pad // bkv
+
+    if interpret is None:
+        interpret = get_config().interpret or (
+            jax.devices()[0].platform != "tpu"
+        )
+
+    # ---- dQ kernel: grid (B, Hq, n_q, n_kv) ----
+    def kv_index(b, h, i, j):
+        lo, hi = _kv_live_range(
+            i, block_q=bq, block_kv=bkv, causal=causal, window=window,
+            seq_k=seq_k, n_kv=n_kv,
+        )
+        return (b, h // group, jnp.clip(j, lo, hi), 0)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, scale=scale, causal=causal, window=window,
+            block_q=bq, block_kv=bkv, seq_q=seq_q, seq_k=seq_k, n_kv=n_kv,
+        ),
+        grid=(batch, hq, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bkv, d), kv_index),
+            pl.BlockSpec((1, 1, bkv, d), kv_index),
+            pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, hq, sq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, dip)
+
+    # ---- dKV kernel: grid (B, Hkv, n_kv, group, n_q) ----
+    def q_index(b, hk, j, g, qi):
+        lo, hi = _q_live_range(
+            j, block_q=bq, block_kv=bkv, causal=causal, window=window,
+            seq_q=seq_q, n_q=n_q,
+        )
+        return (b, hk * group + g, jnp.clip(qi, lo, hi), 0)
+
+    def q_index_vec(b, hk, j, g, qi):
+        b_, h_, i_, _ = q_index(b, hk, j, g, qi)
+        return (b_, h_, i_)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, scale=scale, causal=causal, window=window,
+            block_q=bq, block_kv=bkv, seq_q=seq_q, seq_k=seq_k,
+            n_q=n_q, group=group,
+        ),
+        grid=(batch, hkv, n_kv, group, n_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), q_index),
+            pl.BlockSpec((1, 1, bkv, d),
+                         lambda b, hk, j, g, qi: (b, hk, j, 0)),
+            pl.BlockSpec((1, 1, bkv, d),
+                         lambda b, hk, j, g, qi: (b, hk, j, 0)),
+            pl.BlockSpec((1, 1, bq, d), q_index),
+            pl.BlockSpec((1, 1, bq), q_index_vec),
+            pl.BlockSpec((1, 1, bq), q_index_vec),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bkv, d),
+                         lambda b, hk, j, g, qi: (b, hk, j, 0)),
+            pl.BlockSpec((1, 1, bkv, d),
+                         lambda b, hk, j, g, qi: (b, hk, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, hkv, sk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((batch, hkv, sk_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, dip)
+
+    return dq[:, :, :seq_q], dk[:, :, :seq_k], dv[:, :, :seq_k]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core(q, k, v, causal: bool, scale: float, window: int):
+    out, _ = flash_attention_fwd(
+        q, k, v, causal=causal, scale=scale, window_size=window,
+    )
+    return out
+
+
+def _flash_core_fwd(q, k, v, causal, scale, window):
+    out, lse = flash_attention_fwd(
+        q, k, v, causal=causal, scale=scale, window_size=window,
+    )
+    return out, (q, k, v, out, lse)
+
+
+def _flash_core_bwd(causal, scale, window, residuals, do):
+    q, k, v, o, lse = residuals
+    dq, dk, dv = _bwd_impl(
+        q, k, v, o, lse, do, causal=causal, scale=scale, window=window,
+    )
+    return dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_attention_vjp(
+    q, k, v,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    window_size: int = -1,
+    rope_cos=None,
+    rope_sin=None,
+):
+    """Differentiable pallas flash attention; RoPE applied outside the core
+    op (linear, so autodiff gives exact grads through the rotation)."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d))
+    window = int(window_size) if window_size and window_size > 0 else -1
+    if rope_cos is not None:
+        from .rope import apply_rope
+
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+    return _flash_core(q, k, v, bool(causal), float(scale), window)

@@ -1,0 +1,208 @@
+"""Pallas flash kernel tests (interpret mode on CPU; compiled on TPU).
+
+Covers the reference's kernel test matrix (python/tests/test_triton.py,
+tests/test_gqa_unit.py, test_sliding_window.py, test_cross_attn.py):
+forward vs oracle across causal/GQA/MQA/window/cross/head-dims, LSE,
+fused RoPE, and backward gradients vs autodiff through the XLA reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aule_tpu.ops.flash import flash_attention_fwd
+from aule_tpu.ops.flash_vjp import flash_attention_vjp
+from aule_tpu.ops.reference import (
+    attention_reference,
+    attention_reference_numpy,
+)
+from aule_tpu.ops.rope import apply_rope, precompute_rope_frequencies
+from aule_tpu.utils.testing import assert_close, random_qkv
+
+F32_TOL = (2e-5, 2e-5)
+
+
+def fwd(q, k, v, **kw):
+    out, lse = flash_attention_fwd(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), **kw
+    )
+    return np.asarray(out), np.asarray(lse)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("head_dim", [64, 128])
+def test_fwd_basic(causal, head_dim):
+    q, k, v = random_qkv(2, 2, 256, head_dim)
+    got, _ = fwd(q, k, v, causal=causal)
+    want = attention_reference_numpy(q, k, v, causal=causal)
+    assert_close(got, want, *F32_TOL, f"fwd causal={causal} D={head_dim}")
+
+
+def test_fwd_seq_not_multiple_of_block():
+    q, k, v = random_qkv(1, 2, 200, 64, seq_k=333)
+    got, _ = fwd(q, k, v, causal=False)
+    want = attention_reference_numpy(q, k, v)
+    assert_close(got, want, *F32_TOL, "ragged-seq")
+
+
+@pytest.mark.parametrize("hq,hkv", [(8, 2), (4, 1), (12, 2)])
+def test_fwd_gqa(hq, hkv):
+    q, k, v = random_qkv(2, hq, 256, 64, heads_kv=hkv)
+    got, _ = fwd(q, k, v, causal=True)
+    want = attention_reference_numpy(q, k, v, causal=True)
+    assert_close(got, want, *F32_TOL, f"gqa {hq}:{hkv}")
+
+
+def test_fwd_cross_attention():
+    q, k, v = random_qkv(1, 2, 128, 64, seq_k=384)
+    got, _ = fwd(q, k, v)
+    want = attention_reference_numpy(q, k, v)
+    assert_close(got, want, *F32_TOL, "cross")
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("window", [64, 200])
+def test_fwd_sliding_window(causal, window):
+    q, k, v = random_qkv(1, 2, 512, 64)
+    got, _ = fwd(q, k, v, causal=causal, window_size=window,
+                 block_q=128, block_kv=128)
+    want = attention_reference_numpy(q, k, v, causal=causal,
+                                     window_size=window)
+    assert_close(got, want, *F32_TOL, f"window={window} causal={causal}")
+
+
+def test_fwd_lse():
+    q, k, v = random_qkv(1, 2, 256, 64)
+    _, lse = fwd(q, k, v, causal=True)
+    _, want = attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=True, return_lse=True,
+    )
+    assert_close(lse, np.asarray(want), 1e-4, 1e-4, "lse")
+
+
+def test_fwd_bf16():
+    q, k, v = random_qkv(1, 4, 256, 128)
+    got, _ = fwd(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), causal=True,
+    )
+    want = attention_reference_numpy(q, k, v, causal=True)
+    assert_close(got.astype(np.float32), want, 2e-2, 2e-2, "bf16")
+
+
+def test_fwd_fused_rope():
+    q, k, v = random_qkv(1, 2, 256, 64)
+    cos, sin = precompute_rope_frequencies(256, 64)
+    got, _ = fwd(q, k, v, causal=True, rope_cos=cos, rope_sin=sin)
+    qr = np.asarray(apply_rope(jnp.asarray(q), cos, sin))
+    kr = np.asarray(apply_rope(jnp.asarray(k), cos, sin))
+    want = attention_reference_numpy(qr, kr, v, causal=True)
+    assert_close(got, want, 5e-5, 5e-5, "fused-rope")
+
+
+def test_fwd_block_skipping_equivalence():
+    """Window block skipping must not change results vs full-range compute."""
+    q, k, v = random_qkv(1, 1, 1024, 64)
+    got, _ = fwd(q, k, v, causal=True, window_size=100,
+                 block_q=128, block_kv=128)
+    got_big, _ = fwd(q, k, v, causal=True, window_size=100,
+                     block_q=256, block_kv=512)
+    want = attention_reference_numpy(q, k, v, causal=True, window_size=100)
+    assert_close(got, want, *F32_TOL, "skip-small-blocks")
+    assert_close(got_big, want, *F32_TOL, "skip-big-blocks")
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _grads(fn, q, k, v):
+    def loss(q, k, v):
+        out = fn(q, k, v)
+        return jnp.sum(out * jnp.arange(out.size).reshape(out.shape) * 1e-3)
+
+    return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_bwd_matches_reference_autodiff(causal):
+    q, k, v = random_qkv(1, 2, 256, 64)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    dq, dk, dv = _grads(
+        lambda q, k, v: flash_attention_vjp(q, k, v, causal=causal), q, k, v
+    )
+    rq, rk, rv = _grads(
+        lambda q, k, v: attention_reference(q, k, v, causal=causal), q, k, v
+    )
+    assert_close(dq, rq, 1e-4, 1e-4, "dq")
+    assert_close(dk, rk, 1e-4, 1e-4, "dk")
+    assert_close(dv, rv, 1e-4, 1e-4, "dv")
+
+
+def test_bwd_gqa():
+    q, k, v = random_qkv(1, 8, 256, 64, heads_kv=2)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    dq, dk, dv = _grads(
+        lambda q, k, v: flash_attention_vjp(q, k, v, causal=True), q, k, v
+    )
+    rq, rk, rv = _grads(
+        lambda q, k, v: attention_reference(q, k, v, causal=True), q, k, v
+    )
+    assert_close(dq, rq, 1e-4, 1e-4, "gqa dq")
+    assert_close(dk, rk, 1e-4, 1e-4, "gqa dk")
+    assert_close(dv, rv, 1e-4, 1e-4, "gqa dv")
+
+
+def test_bwd_window():
+    q, k, v = random_qkv(1, 2, 384, 64)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    dq, dk, dv = _grads(
+        lambda q, k, v: flash_attention_vjp(
+            q, k, v, causal=True, window_size=64), q, k, v
+    )
+    rq, rk, rv = _grads(
+        lambda q, k, v: attention_reference(
+            q, k, v, causal=True, window_size=64), q, k, v
+    )
+    assert_close(dq, rq, 1e-4, 1e-4, "win dq")
+    assert_close(dk, rk, 1e-4, 1e-4, "win dk")
+    assert_close(dv, rv, 1e-4, 1e-4, "win dv")
+
+
+def test_bwd_rope_grads_flow():
+    q, k, v = random_qkv(1, 2, 128, 64)
+    cos, sin = precompute_rope_frequencies(128, 64)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    dq, dk, dv = _grads(
+        lambda q, k, v: flash_attention_vjp(
+            q, k, v, causal=True, rope_cos=cos, rope_sin=sin), q, k, v
+    )
+    rq, rk, rv = _grads(
+        lambda q, k, v: attention_reference(
+            q, k, v, causal=True, rope_cos=cos, rope_sin=sin), q, k, v
+    )
+    assert_close(dq, rq, 1e-4, 1e-4, "rope dq")
+    assert_close(dk, rk, 1e-4, 1e-4, "rope dk")
+    assert_close(dv, rv, 1e-4, 1e-4, "rope dv")
+
+
+def test_training_step_loss_decreases():
+    """End-to-end sanity: one SGD step lowers a toy loss
+    (tests/test_torch_autograd.py analog)."""
+    q, k, v = random_qkv(1, 2, 128, 64)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    target = jnp.asarray(random_qkv(1, 2, 128, 64, seed=7)[0])
+
+    def loss_fn(params):
+        out = flash_attention_vjp(params["q"], params["k"], params["v"],
+                                  causal=True)
+        return jnp.mean((out - target) ** 2)
+
+    params = {"q": q, "k": k, "v": v}
+    l0 = loss_fn(params)
+    g = jax.grad(loss_fn)(params)
+    params = jax.tree.map(lambda p, gr: p - 0.5 * gr, params, g)
+    l1 = loss_fn(params)
+    assert float(l1) < float(l0)
