@@ -1,0 +1,273 @@
+"""Llama-style transformer built on aule-tpu attention.
+
+The reference integrates with models by monkeypatching HF GPT-2
+(python/aule/patching.py) and simulates a transformer in tests
+(tests/test_real_transformer.py).  Here the model is first-class: a
+functional (pure-pytree) Llama-3-shaped decoder that uses
+
+  * ops.flash (Pallas flash kernel, fused path) for prefill/training,
+  * ops.paged (paged decode kernel) + serving.kv_cache for generation,
+  * RoPE from ops.rope (half-split convention),
+
+and whose parameters carry `jax.sharding` PartitionSpecs so the same code
+runs single-chip or pjit-sharded over a (data, model) mesh — the flagship
+for __graft_entry__ and bench.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..ops.flash_vjp import flash_attention_vjp
+from ..ops.paged import kv_cache_append_decode, paged_attention
+from ..ops.rope import apply_rope, precompute_rope_frequencies
+
+try:
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    hidden_dim: int = 14336
+    rope_base: float = 500000.0
+    norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @classmethod
+    def llama3_8b(cls) -> "LlamaConfig":
+        return cls(vocab_size=128256, dim=4096, n_layers=32, n_heads=32,
+                   n_kv_heads=8, hidden_dim=14336)
+
+    @classmethod
+    def tiny(cls, **kw) -> "LlamaConfig":
+        """Test-sized config."""
+        defaults = dict(vocab_size=256, dim=128, n_layers=2, n_heads=4,
+                        n_kv_heads=2, hidden_dim=256, rope_base=10000.0,
+                        dtype=jnp.float32)
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+# PartitionSpecs for tensor-parallel sharding over a (data, model) mesh.
+def param_specs(cfg: LlamaConfig) -> Dict[str, Any]:
+    layer = {
+        "wq": P(None, "model"),      # [dim, Hq*Dh] heads sharded
+        "wk": P(None, "model"),
+        "wv": P(None, "model"),
+        "wo": P("model", None),      # [Hq*Dh, dim] row-sharded
+        "w_gate": P(None, "model"),
+        "w_up": P(None, "model"),
+        "w_down": P("model", None),
+        "attn_norm": P(None),
+        "mlp_norm": P(None),
+    }
+    return {
+        "embed": P(None, None),
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+        "final_norm": P(None),
+        "lm_head": P(None, "model"),
+    }
+
+
+def init_params(cfg: LlamaConfig, key: jax.Array) -> Dict[str, Any]:
+    def dense(key, fan_in, shape):
+        return (jax.random.normal(key, shape, jnp.float32)
+                / np.sqrt(fan_in)).astype(cfg.dtype)
+
+    keys = jax.random.split(key, cfg.n_layers + 3)
+    d, h = cfg.dim, cfg.hidden_dim
+    qkv_dim = cfg.n_heads * cfg.head_dim
+    kv_dim = cfg.n_kv_heads * cfg.head_dim
+    layers = []
+    for i in range(cfg.n_layers):
+        lk = jax.random.split(keys[i], 7)
+        layers.append({
+            "wq": dense(lk[0], d, (d, qkv_dim)),
+            "wk": dense(lk[1], d, (d, kv_dim)),
+            "wv": dense(lk[2], d, (d, kv_dim)),
+            "wo": dense(lk[3], qkv_dim, (qkv_dim, d)),
+            "w_gate": dense(lk[4], d, (d, h)),
+            "w_up": dense(lk[5], d, (d, h)),
+            "w_down": dense(lk[6], h, (h, d)),
+            "attn_norm": jnp.ones((d,), jnp.float32),
+            "mlp_norm": jnp.ones((d,), jnp.float32),
+        })
+    return {
+        "embed": dense(keys[-3], 1, (cfg.vocab_size, d)),
+        "layers": layers,
+        "final_norm": jnp.ones((cfg.dim,), jnp.float32),
+        "lm_head": dense(keys[-2], d, (d, cfg.vocab_size)),
+    }
+
+
+def rms_norm(x, weight, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * weight).astype(x.dtype)
+
+
+def _split_heads(x, n_heads, head_dim):
+    b, s, _ = x.shape
+    # [B, S, H*Dh] -> [B, H, S, Dh]
+    return x.reshape(b, s, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, s, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+
+
+def _make_attn_fn(cfg: LlamaConfig, mesh, data_axis: str,
+                  model_axis: str):
+    """Attention callsite: plain kernel single-mesh-free, or a shard_map
+    island (batch on data, heads on model — GQA co-located) inside the
+    surrounding GSPMD program.  Pallas kernels have no SPMD partitioning
+    rule, so the explicit shard_map is what keeps the kernel local to each
+    chip's head/batch shard."""
+    def local(q, k, v):
+        return flash_attention_vjp(q, k, v, causal=True)
+
+    if mesh is None:
+        return local
+    spec = P(data_axis, model_axis, None, None)
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_vma=False)
+
+
+def forward(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,       # [B, S] int32
+    cfg: LlamaConfig,
+    *,
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
+    return_kv: bool = False,
+    mesh=None,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """Causal-LM forward (prefill/training path, flash kernels).
+
+    Returns logits [B, S, V]; with return_kv also per-layer rotated
+    (k, v) [B, Hkv, S, Dh] for populating a decode cache.  With `mesh`,
+    attention runs as a shard_map island (data/model sharded) and the
+    dense layers partition via GSPMD.
+    """
+    b, s = tokens.shape
+    if rope_cos is None:
+        rope_cos, rope_sin = precompute_rope_frequencies(
+            s, cfg.head_dim, cfg.rope_base)
+    attn_fn = _make_attn_fn(cfg, mesh, data_axis, model_axis)
+    x = params["embed"][tokens]
+    kv_out: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+    for layer in params["layers"]:
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = _split_heads(h @ layer["wq"], cfg.n_heads, cfg.head_dim)
+        k = _split_heads(h @ layer["wk"], cfg.n_kv_heads, cfg.head_dim)
+        v = _split_heads(h @ layer["wv"], cfg.n_kv_heads, cfg.head_dim)
+        # rotate outside the kernel so training grads flow (see flash_vjp)
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+        if return_kv:
+            kv_out.append((k, v))
+        attn = attn_fn(q, k, v)
+        x = x + _merge_heads(attn) @ layer["wo"]
+
+        h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
+        x = x + ((gate * (h @ layer["w_up"]).astype(jnp.float32)).astype(
+            x.dtype) @ layer["w_down"])
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    if return_kv:
+        return logits, kv_out
+    return logits
+
+
+def decode_step(
+    params: Dict[str, Any],
+    token: jnp.ndarray,          # [B] int32 current token
+    positions: jnp.ndarray,      # [B] int32 absolute positions
+    k_pages: List[jnp.ndarray],  # per-layer pools
+    v_pages: List[jnp.ndarray],
+    block_tables: jnp.ndarray,   # [B, max_pages]
+    context_lens: jnp.ndarray,   # [B] lengths BEFORE this token
+    cfg: LlamaConfig,
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+):
+    """One decode step: appends this token's K/V to the paged cache and
+    attends over it with the paged kernel.  Returns
+    (logits [B, V], k_pages, v_pages, new_context_lens)."""
+    x = params["embed"][token]  # [B, dim]
+    new_k_pages, new_v_pages = [], []
+    lens_out = context_lens
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = (h @ layer["wq"]).reshape(-1, cfg.n_heads, cfg.head_dim)
+        k = (h @ layer["wk"]).reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+        v = (h @ layer["wv"]).reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+        # rotate by absolute position ([B, H, D] -> per-batch table rows)
+        c = rope_cos[positions][:, None, :]
+        sn = rope_sin[positions][:, None, :]
+        half = cfg.head_dim // 2
+        q = jnp.concatenate(
+            [q[..., :half] * c - q[..., half:] * sn,
+             q[..., :half] * sn + q[..., half:] * c], axis=-1).astype(q.dtype)
+        k = jnp.concatenate(
+            [k[..., :half] * c - k[..., half:] * sn,
+             k[..., :half] * sn + k[..., half:] * c], axis=-1).astype(k.dtype)
+
+        kp, vp, lens_out = kv_cache_append_decode(
+            k_pages[li], v_pages[li], k, v, block_tables, context_lens)
+        new_k_pages.append(kp)
+        new_v_pages.append(vp)
+        attn = paged_attention(q, kp, vp, block_tables, lens_out)
+        x = x + attn.reshape(-1, cfg.n_heads * cfg.head_dim) @ layer["wo"]
+
+        h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
+        x = x + ((gate * (h @ layer["w_up"]).astype(jnp.float32)).astype(
+            x.dtype) @ layer["w_down"])
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, new_k_pages, new_v_pages, lens_out
+
+
+def loss_fn(params, tokens, cfg: LlamaConfig, mesh=None):
+    """Next-token cross-entropy (training objective for the train step)."""
+    logits = forward(params, tokens[:, :-1], cfg, mesh=mesh)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+    return jnp.mean(nll)
+
+
+def train_step(params, tokens, cfg: LlamaConfig, lr: float = 1e-4,
+               mesh=None):
+    """One SGD step; jit this over a mesh for multi-chip dp+tp training."""
+    loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg, mesh)
+    params = jax.tree.map(
+        lambda p, g: (p - lr * g.astype(jnp.float32)).astype(p.dtype)
+        if p.dtype != jnp.float32 else p - lr * g.astype(jnp.float32),
+        params, grads)
+    return params, loss

@@ -111,24 +111,30 @@ def _fwd_kernel(
     )
     should_run = jnp.logical_and(j >= lo, j <= hi)
 
+    # f32 inputs need the multi-pass f32 MXU path for reference-grade
+    # accuracy (README.md:278-281: <1e-6 vs SDPA); bf16 uses the native
+    # single-pass MXU.
+    mxu_precision = (jax.lax.Precision.HIGHEST
+                     if q_ref.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # [block_q, D]
-        k = k_ref[0, 0].astype(jnp.float32)  # [block_kv, D]
+        q = q_ref[0, 0]  # [block_q, D], input dtype
+        k = k_ref[0, 0]  # [block_kv, D]
         if use_rope:
-            q_rot = _apply_rope_tile(
-                q, cosq_ref[...].astype(jnp.float32),
-                sinq_ref[...].astype(jnp.float32))
-            k_rot = _apply_rope_tile(
-                k, cosk_ref[...].astype(jnp.float32),
-                sink_ref[...].astype(jnp.float32))
-        else:
-            q_rot, k_rot = q, k
+            q = _apply_rope_tile(
+                q.astype(jnp.float32), cosq_ref[...], sinq_ref[...]
+            ).astype(q_ref.dtype)
+            k = _apply_rope_tile(
+                k.astype(jnp.float32), cosk_ref[...], sink_ref[...]
+            ).astype(k_ref.dtype)
 
         s = jax.lax.dot_general(
-            q_rot, k_rot, (((1,), (1,)), ((), ())),
+            q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [block_q, block_kv]
+            precision=mxu_precision,
+        )  # [block_q, block_kv] f32
         s *= scale
 
         # element-level mask: bounds + causal + window
@@ -158,10 +164,11 @@ def _fwd_kernel(
         m_scr[...] = m_next
         l_scr[...] = jnp.broadcast_to(l_next[:, :1], l_prev.shape)
 
-        v = v_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0]
         o_curr = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=mxu_precision,
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
 
@@ -170,9 +177,12 @@ def _fwd_kernel(
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        m = m_scr[:, 0]
-        lv = l_scr[:, 0]
-        lse = jnp.where(lv > 0.0, m + jnp.log(lv), DEFAULT_MASK_VALUE)
+        # LSE lane-replicated to 128 (Mosaic block layout requires the
+        # trailing dim be 128); the wrapper slices lane 0.
+        m = m_scr[...]
+        lv = l_scr[...]
+        lse = jnp.where(lv > 0.0, m + jnp.log(jnp.where(lv > 0.0, lv, 1.0)),
+                        DEFAULT_MASK_VALUE)
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)
 
 
@@ -260,11 +270,11 @@ def flash_attention_fwd(
 
     out_specs = [
         pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),
+        pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((batch, hq, sq_pad, d), q.dtype),
-        jax.ShapeDtypeStruct((batch, hq, sq_pad), jnp.float32),
+        jax.ShapeDtypeStruct((batch, hq, sq_pad, NUM_LANES), jnp.float32),
     ]
     scratch_shapes = [
         pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # m
@@ -304,6 +314,7 @@ def flash_attention_fwd(
         interpret=interpret,
     )(*args)
 
+    lse = lse[..., 0]  # compact [B, Hq, Sq]
     if sq_pad != seq_q:
         out = out[:, :, :seq_q]
         lse = lse[:, :, :seq_q]

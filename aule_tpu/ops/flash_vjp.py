@@ -93,18 +93,22 @@ def _dq_kernel(
         window=window, seq_k=seq_k, n_kv=n_kv,
     )
 
+    precision = (jax.lax.Precision.HIGHEST
+                 if q_ref.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+
     @pl.when(jnp.logical_and(j >= lo, j <= hi))
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0].astype(jnp.float32)[:, None]
-        di = di_ref[0, 0].astype(jnp.float32)[:, None]
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ) * scale
         mask = _mask_tile(i, j, block_q, block_kv, causal=causal,
                           window=window, seq_q=seq_q, seq_k=seq_k)
@@ -113,12 +117,12 @@ def _dq_kernel(
 
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
-        ds = p * (dp - di) * scale
+        ds = (p * (dp - di) * scale).astype(k_ref.dtype)
         dq_acc[...] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
 
     @pl.when(j == n_kv - 1)
@@ -146,18 +150,22 @@ def _dkv_kernel(
         window=window, seq_q=seq_q, n_q=n_q,
     )
 
+    precision = (jax.lax.Precision.HIGHEST
+                 if q_ref.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+
     @pl.when(jnp.logical_and(qi >= lo, qi <= hi))
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0].astype(jnp.float32)[:, None]
-        di = di_ref[0, 0].astype(jnp.float32)[:, None]
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ) * scale
         mask = _mask_tile(qi, j, block_q, block_kv, causal=causal,
                           window=window, seq_q=seq_q, seq_k=seq_k)
@@ -166,18 +174,18 @@ def _dkv_kernel(
 
         # dV += P^T @ dO
         dv_acc[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            p.astype(do_ref.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
         )
         # dS = P * (dP - di) * scale; dK += dS^T @ Q
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
-        ds = p * (dp - di) * scale
+        ds = (p * (dp - di) * scale).astype(q_ref.dtype)
         dk_acc[...] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
 
     last = jnp.logical_and(g == pl.num_programs(3) - 1, qi == n_q - 1)
@@ -213,8 +221,11 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
 
     qp = pad_seq(q, sq_pad)
     dop = pad_seq(do, sq_pad)
-    lsep = pad_seq(lse, sq_pad)
-    dip = pad_seq(di, sq_pad)
+    # lane-replicate per-row stats to the 128-lane layout Mosaic requires
+    lsep = jnp.broadcast_to(pad_seq(lse, sq_pad)[..., None],
+                            (batch, hq, sq_pad, NUM_LANES))
+    dip = jnp.broadcast_to(pad_seq(di, sq_pad)[..., None],
+                           (batch, hq, sq_pad, NUM_LANES))
     kp = pad_seq(k, sk_pad)
     vp = pad_seq(v, sk_pad)
 
@@ -245,8 +256,10 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
             pl.BlockSpec((1, 1, bkv, d), kv_index),
             pl.BlockSpec((1, 1, bkv, d), kv_index),
             pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),
-            pl.BlockSpec((1, 1, bq), lambda b, h, i, j: (b, h, i)),
+            pl.BlockSpec((1, 1, bq, NUM_LANES),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, NUM_LANES),
+                         lambda b, h, i, j: (b, h, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((batch, hq, sq_pad, d), q.dtype),
@@ -267,8 +280,7 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
         return (b, hk * group + g, jnp.clip(qi, lo, hi), 0)
 
     def q_index_vec(b, hk, j, g, qi):
-        b_, h_, i_, _ = q_index(b, hk, j, g, qi)
-        return (b_, h_, i_)
+        return q_index(b, hk, j, g, qi)
 
     dk, dv = pl.pallas_call(
         functools.partial(
@@ -284,8 +296,8 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
             pl.BlockSpec((1, 1, bkv, d),
                          lambda b, hk, j, g, qi: (b, hk, j, 0)),
             pl.BlockSpec((1, 1, bq, d), q_index),
-            pl.BlockSpec((1, 1, bq), q_index_vec),
-            pl.BlockSpec((1, 1, bq), q_index_vec),
+            pl.BlockSpec((1, 1, bq, NUM_LANES), q_index_vec),
+            pl.BlockSpec((1, 1, bq, NUM_LANES), q_index_vec),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bkv, d),

