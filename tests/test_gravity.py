@@ -1,0 +1,118 @@
+"""Gravity / top-k attention tests.
+
+Reference analogs: tests/test_spatial_sort.py, test_segmented_sort.py,
+test_gravity_attention.py (identity at full k, shuffled indices, RoPE +
+causal, truncation) and test_needle.py (needle retrieval at 8x compression).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aule_tpu.ops.reference import attention_reference_numpy
+from aule_tpu.ops.rope import precompute_rope_frequencies
+from aule_tpu.ops.topk import gravity_attention, spatial_sort
+from aule_tpu.utils.testing import assert_close, random_qkv
+
+
+def test_spatial_sort_orders_by_magnitude():
+    rng = np.random.default_rng(42)
+    k = rng.standard_normal((2, 3, 64, 16)).astype(np.float32)
+    idx = np.asarray(spatial_sort(jnp.asarray(k)))
+    mag = (k.astype(np.float64) ** 2).sum(-1)
+    for b in range(2):
+        for h in range(3):
+            sorted_mags = mag[b, h][idx[b, h]]
+            assert (np.diff(sorted_mags) <= 1e-6).all()
+
+
+def test_spatial_sort_segment_independence():
+    """Per-(batch,head) segments must not mix (the reference's global-sort
+    batch-mixing bug, attention_gpu.zig:252-257, must not exist here)."""
+    rng = np.random.default_rng(1)
+    k = rng.standard_normal((4, 2, 32, 8)).astype(np.float32)
+    idx_full = np.asarray(spatial_sort(jnp.asarray(k)))
+    idx_solo = np.asarray(spatial_sort(jnp.asarray(k[2:3])))
+    assert (idx_full[2:3] == idx_solo).all()
+
+
+def test_gravity_full_k_equals_dense():
+    """max_attend = Sk must equal exact attention (identity property)."""
+    q, k, v = random_qkv(1, 2, 64, 32)
+    got = gravity_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            max_attend=64, causal=True)
+    want = attention_reference_numpy(q, k, v, causal=True)
+    assert_close(got, want, 1e-5, 1e-5, "gravity-full")
+
+
+def test_gravity_precomputed_indices_match_internal():
+    q, k, v = random_qkv(1, 2, 64, 32)
+    idx = spatial_sort(jnp.asarray(k))
+    a = gravity_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          max_attend=16, indices=idx)
+    b = gravity_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          max_attend=16)
+    assert_close(a, b, 1e-6, 1e-6, "indices-vs-internal")
+
+
+def test_gravity_causal_masks_original_positions():
+    """A high-magnitude FUTURE key must not leak through the causal mask
+    (mask compares original indices, attention_gravity.comp:138-151)."""
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((1, 1, 8, 16)).astype(np.float32)
+    k = rng.standard_normal((1, 1, 8, 16)).astype(np.float32) * 0.1
+    v = rng.standard_normal((1, 1, 8, 16)).astype(np.float32)
+    k[0, 0, 7] *= 1000.0  # dominant key at the last position
+    out = np.asarray(gravity_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        max_attend=4, causal=True))
+    # row 0 can only see key 0 -> must equal v[0]
+    assert_close(out[0, 0, 0], v[0, 0, 0], 1e-5, 1e-5, "causal-row0")
+
+
+def test_gravity_gqa():
+    q, k, v = random_qkv(1, 4, 64, 32, heads_kv=2)
+    got = gravity_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            max_attend=64, causal=True)
+    want = attention_reference_numpy(q, k, v, causal=True)
+    assert_close(got, want, 1e-5, 1e-5, "gravity-gqa")
+
+
+def test_needle_retrieval_at_8x_compression():
+    """test_needle.py analog: a needle K/V pair hidden in N=1024 noise keys
+    is retrieved through top-128 gravity attention when the query matches
+    the needle direction."""
+    rng = np.random.default_rng(7)
+    n, d = 1024, 32
+    needle_dir = rng.standard_normal(d).astype(np.float32)
+    needle_dir /= np.linalg.norm(needle_dir)
+    k = rng.standard_normal((1, 1, n, d)).astype(np.float32) * 0.3
+    v = rng.standard_normal((1, 1, n, d)).astype(np.float32)
+    pos = 613
+    k[0, 0, pos] = needle_dir * 8.0        # high magnitude -> top-k keeps it
+    needle_value = rng.standard_normal(d).astype(np.float32)
+    v[0, 0, pos] = needle_value
+    q = (needle_dir * 4.0)[None, None, None, :].astype(np.float32)
+
+    out = np.asarray(gravity_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), max_attend=128))
+    cos = float(np.dot(out[0, 0, 0], needle_value) /
+                (np.linalg.norm(out[0, 0, 0]) * np.linalg.norm(needle_value)))
+    assert cos > 0.95, f"needle not retrieved (cos={cos})"
+
+
+def test_gravity_rope():
+    q, k, v = random_qkv(1, 2, 64, 32)
+    cos, sin = precompute_rope_frequencies(64, 32)
+    got = gravity_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            max_attend=64, causal=True,
+                            rope_cos=cos, rope_sin=sin)
+    want = attention_reference_numpy(
+        np.asarray(jnp.asarray(q)), k, v, causal=True)  # placeholder shape
+    # oracle: rotate then dense attention
+    from aule_tpu.ops.rope import apply_rope
+
+    qr = np.asarray(apply_rope(jnp.asarray(q), cos, sin))
+    kr = np.asarray(apply_rope(jnp.asarray(k), cos, sin))
+    want = attention_reference_numpy(qr, kr, v, causal=True)
+    assert_close(got, want, 1e-5, 1e-5, "gravity-rope")
