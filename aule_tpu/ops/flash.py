@@ -118,8 +118,26 @@ def _fwd_kernel(
                      if q_ref.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
 
-    @pl.when(should_run)
-    def _compute():
+    # Interior tiles (every element attends) skip all mask VPU work; only
+    # boundary tiles pay for iotas/selects.  Same idea as the reference's
+    # two-tier masking (tile-level skip + element masks,
+    # attention_f32_fast.comp:119-155), with a third tier: maskless compute.
+    fully_valid = (j + 1) * block_kv <= seq_k
+    if causal:
+        fully_valid = jnp.logical_and(
+            fully_valid, i * block_q >= (j + 1) * block_kv - 1)
+    if window > 0:
+        fully_valid = jnp.logical_and(
+            fully_valid,
+            ((i + 1) * block_q - 1) - j * block_kv <= window)
+        if not causal:
+            fully_valid = jnp.logical_and(
+                fully_valid,
+                ((j + 1) * block_kv - 1) - i * block_q <= window)
+    maskless_everywhere = (not causal and window <= 0
+                           and seq_k % block_kv == 0)
+
+    def _body(masked: bool):
         q = q_ref[0, 0]  # [block_q, D], input dtype
         k = k_ref[0, 0]  # [block_kv, D]
         if use_rope:
@@ -137,17 +155,20 @@ def _fwd_kernel(
         )  # [block_q, block_kv] f32
         s *= scale
 
-        # element-level mask: bounds + causal + window
-        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
-        mask = cols < seq_k
-        if causal:
-            mask = jnp.logical_and(mask, rows >= cols)
-        if window > 0:
-            mask = jnp.logical_and(mask, rows - cols <= window)
-            if not causal:
-                mask = jnp.logical_and(mask, cols - rows <= window)
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        if masked:
+            # element-level mask: bounds + causal + window
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0) + i * block_q
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1) + j * block_kv
+            mask = cols < seq_k
+            if causal:
+                mask = jnp.logical_and(mask, rows >= cols)
+            if window > 0:
+                mask = jnp.logical_and(mask, rows - cols <= window)
+                if not causal:
+                    mask = jnp.logical_and(mask, cols - rows <= window)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]  # [block_q, 128] lane-replicated
         l_prev = l_scr[...]
@@ -156,9 +177,10 @@ def _fwd_kernel(
         alpha = jnp.exp(m_prev - m_next)
 
         p = jnp.exp(s - m_next[:, :1])
-        # NaN safety for fully-masked rows (triton_flash.py:201-220): a row
-        # whose running max is still the mask value must contribute nothing.
-        p = jnp.where(mask, p, 0.0)
+        if masked and window > 0:
+            # NaN safety for fully-masked rows (triton_flash.py:201-220):
+            # only windows can empty a row; exp(mask - mask) would be 1.
+            p = jnp.where(mask, p, 0.0)
 
         l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
@@ -171,6 +193,20 @@ def _fwd_kernel(
             precision=mxu_precision,
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
+
+    if maskless_everywhere:
+        @pl.when(should_run)
+        def _all():
+            _body(masked=False)
+    else:
+        @pl.when(jnp.logical_and(should_run, fully_valid))
+        def _interior():
+            _body(masked=False)
+
+        @pl.when(jnp.logical_and(should_run,
+                                 jnp.logical_not(fully_valid)))
+        def _edge():
+            _body(masked=True)
 
     @pl.when(j == n_kv - 1)
     def _store():
