@@ -152,8 +152,9 @@ def _fwd_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu_precision,
-        )  # [block_q, block_kv] f32
-        s *= scale
+        )  # [block_q, block_kv] f32, log2-units (q pre-scaled by
+        #    scale*log2e outside the kernel; exp2 below — the reference's
+        #    fast-softmax trick, triton_flash_amd.py:207-213)
 
         if masked:
             # element-level mask: bounds + causal + window
@@ -174,9 +175,9 @@ def _fwd_kernel(
         l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
         m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
-        alpha = jnp.exp(m_prev - m_next)
+        alpha = jnp.exp2(m_prev - m_next)
 
-        p = jnp.exp(s - m_next[:, :1])
+        p = jnp.exp2(s - m_next[:, :1])
         if masked and window > 0:
             # NaN safety for fully-masked rows (triton_flash.py:201-220):
             # only windows can empty a row; exp(mask - mask) would be 1.
@@ -217,8 +218,11 @@ def _fwd_kernel(
         # trailing dim be 128); the wrapper slices lane 0.
         m = m_scr[...]
         lv = l_scr[...]
-        lse = jnp.where(lv > 0.0, m + jnp.log(jnp.where(lv > 0.0, lv, 1.0)),
-                        DEFAULT_MASK_VALUE)
+        # stats are in log2-units; publish LSE in natural-log units
+        lse = jnp.where(
+            lv > 0.0,
+            (m + jnp.log2(jnp.where(lv > 0.0, lv, 1.0))) * 0.6931471805599453,
+            DEFAULT_MASK_VALUE)
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)
 
 
@@ -247,6 +251,11 @@ def flash_attention_fwd(
     if scale is None:
         scale = 1.0 / float(np.sqrt(d))
     window = int(window_size) if window_size and window_size > 0 else -1
+
+    # fold softmax scale and the exp->exp2 conversion into q: one cheap
+    # [B,H,S,D] pass instead of two full [S,S]-tile passes per kv block
+    LOG2E = 1.4426950408889634
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
 
     tiles = get_tile_config()
     bq = block_q or min(tiles.block_q, _round_up(seq_q, 128))

@@ -31,6 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import get_config, get_tile_config
+LOG2E = 1.4426950408889634
+
 from .flash import (
     DEFAULT_MASK_VALUE,
     NUM_LANES,
@@ -106,13 +108,13 @@ def _dq_kernel(
         lse = lse_ref[0, 0][:, :1]
         di = di_ref[0, 0][:, :1]
 
-        s = jax.lax.dot_general(
+        s2 = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        ) * scale
+        ) * (scale * LOG2E)  # log2-units; exp2 fast softmax
         mask = _mask_tile(i, j, block_q, block_kv, causal=causal,
                           window=window, seq_q=seq_q, seq_k=seq_k)
-        p = jnp.exp(jnp.where(mask, s, DEFAULT_MASK_VALUE) - lse)
+        p = jnp.exp2(jnp.where(mask, s2, DEFAULT_MASK_VALUE) - lse * LOG2E)
         p = jnp.where(mask, p, 0.0)
 
         dp = jax.lax.dot_general(
@@ -163,13 +165,13 @@ def _dkv_kernel(
         lse = lse_ref[0, 0][:, :1]
         di = di_ref[0, 0][:, :1]
 
-        s = jax.lax.dot_general(
+        s2 = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        ) * scale
+        ) * (scale * LOG2E)  # log2-units; exp2 fast softmax
         mask = _mask_tile(qi, j, block_q, block_kv, causal=causal,
                           window=window, seq_q=seq_q, seq_k=seq_k)
-        p = jnp.exp(jnp.where(mask, s, DEFAULT_MASK_VALUE) - lse)
+        p = jnp.exp2(jnp.where(mask, s2, DEFAULT_MASK_VALUE) - lse * LOG2E)
         p = jnp.where(mask, p, 0.0)
 
         # dV += P^T @ dO

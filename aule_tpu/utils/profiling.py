@@ -13,6 +13,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 # (bf16 matmul TFLOP/s, HBM TB/s) per chip.  Public spec-sheet numbers.
 DEVICE_PEAKS = {
@@ -77,9 +78,12 @@ def benchmark(fn, *args, warmup: int = 3, iters: int = 20) -> float:
         out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*args) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    # paranoid completion barrier: scalar readback defeats any transport
+    # that acks block_until_ready early
+    float(jnp.sum(outs[-1][0] if isinstance(outs[-1], (tuple, list))
+                  else outs[-1]).astype(jnp.float32))
     return (time.perf_counter() - t0) / iters
 
 

@@ -36,9 +36,12 @@ def time_fn(fn, *args, warmup=3, iters=20):
         out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*args) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    # paranoid completion barrier: scalar readback defeats any transport
+    # that acks block_until_ready early
+    float(jnp.sum(outs[-1][0] if isinstance(outs[-1], (tuple, list))
+                  else outs[-1]).astype(jnp.float32))
     return (time.perf_counter() - t0) / iters
 
 

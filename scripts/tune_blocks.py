@@ -27,9 +27,9 @@ def bench(bq, bkv, B=4, H=32, HKV=8, S=4096, D=128, causal=True, window=-1,
     out = f(q, k, v)
     out.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(q, k, v)
-    out.block_until_ready()
+    outs = [f(q, k, v) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    float(jnp.sum(outs[-1]).astype(jnp.float32))  # completion barrier
     dt = (time.perf_counter() - t0) / iters
     flops = 4 * B * H * S * S * D * (0.5 if causal else 1.0)
     return flops / dt / 1e12, dt * 1e3
