@@ -34,6 +34,7 @@ from .ops.reference import (
     paged_attention_reference,
 )
 from .ops.rope import apply_rope, precompute_rope_frequencies
+from .ops.topk import gravity_attention, spatial_sort
 
 __version__ = "0.1.0"
 
@@ -165,8 +166,19 @@ def uninstall() -> None:
     _installed = False
 
 
+def paged_attention(*args, **kwargs):
+    """Paged decode attention over a block-table KV cache (lazy import;
+    see ops/paged.py for the cache contract)."""
+    from .ops.paged import paged_attention as _impl
+
+    return _impl(*args, **kwargs)
+
+
 __all__ = [
     "flash_attention",
+    "paged_attention",
+    "gravity_attention",
+    "spatial_sort",
     "attention_reference",
     "attention_reference_numpy",
     "paged_attention_reference",

@@ -1,0 +1,107 @@
+"""Integration-layer tests: install()/uninstall(), SDPA drop-in, backends.
+
+Reference analogs: the global SDPA monkeypatch behavior
+(python/aule/__init__.py:288-442), backend reporting (:445-561), and the
+ComfyUI/patch_model config propagation (tests/test_comfy_sim.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import aule_tpu
+from aule_tpu.integration import patching
+from aule_tpu.ops.reference import attention_reference_numpy
+from aule_tpu.utils.testing import assert_close, random_qkv
+
+
+def test_backend_report():
+    info = aule_tpu.get_backend_info()
+    assert "numpy" in info["available"]
+    assert "xla" in info["available"]
+    assert info["selected"] in info["available"]
+    aule_tpu.print_backend_info()  # must not raise
+
+
+def test_force_unknown_backend_raises():
+    q, k, v = random_qkv(1, 1, 16, 16)
+    with pytest.raises(ValueError):
+        aule_tpu.flash_attention(q, k, v, backend="vulkan")
+
+
+def test_install_patches_jax_nn_and_uninstall_restores():
+    orig = jax.nn.dot_product_attention
+    aule_tpu.install(backend="xla")
+    try:
+        assert jax.nn.dot_product_attention is not orig
+        # BTNH layout
+        rng = np.random.default_rng(0)
+        q = rng.standard_normal((1, 32, 4, 16)).astype(np.float32)
+        k = rng.standard_normal((1, 32, 4, 16)).astype(np.float32)
+        v = rng.standard_normal((1, 32, 4, 16)).astype(np.float32)
+        got = jax.nn.dot_product_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), is_causal=True)
+        want = attention_reference_numpy(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), causal=True).transpose(0, 2, 1, 3)
+        assert_close(got, want, 1e-4, 1e-4, "patched dpa")
+    finally:
+        aule_tpu.uninstall()
+    assert jax.nn.dot_product_attention is orig
+
+
+def test_patched_dpa_falls_back_for_unsupported_args():
+    aule_tpu.install(backend="xla")
+    try:
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.standard_normal((1, 8, 2, 16)), jnp.float32)
+        bias = jnp.zeros((1, 2, 8, 8), jnp.float32)
+        got = jax.nn.dot_product_attention(q, q, q, bias=bias)
+        want = patching._original_dpa(q, q, q, bias=bias)
+        assert_close(got, want, 1e-6, 1e-6, "fallback")
+    finally:
+        aule_tpu.uninstall()
+
+
+def test_patched_dpa_local_window():
+    aule_tpu.install(backend="xla")
+    try:
+        rng = np.random.default_rng(2)
+        q = rng.standard_normal((1, 32, 2, 16)).astype(np.float32)
+        got = jax.nn.dot_product_attention(
+            jnp.asarray(q), jnp.asarray(q), jnp.asarray(q),
+            is_causal=True, local_window_size=(4, 0))
+        want = attention_reference_numpy(
+            q.transpose(0, 2, 1, 3), q.transpose(0, 2, 1, 3),
+            q.transpose(0, 2, 1, 3), causal=True,
+            window_size=4).transpose(0, 2, 1, 3)
+        assert_close(got, want, 1e-4, 1e-4, "window patch")
+    finally:
+        aule_tpu.uninstall()
+
+
+def test_patch_model_sets_config():
+    patching.PATCH_CONFIG["causal"] = True
+    model = object()
+    out = patching.patch_model(model, causal=False)
+    try:
+        assert out is model
+        assert patching.PATCH_CONFIG["causal"] is False
+    finally:
+        patching.uninstall_sdpa_patch()
+        patching.PATCH_CONFIG["causal"] = True
+
+
+def test_top_level_paged_attention_export():
+    from tests.test_paged import make_cache
+
+    ctx = np.array([32, 16], np.int32)
+    k_pages, v_pages, bt = make_cache(2, 2, 64, 16, 16, 4, ctx)
+    q = np.random.default_rng(3).standard_normal((2, 4, 64)).astype(
+        np.float32)
+    out = aule_tpu.paged_attention(
+        jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+        jnp.asarray(bt), jnp.asarray(ctx), pages_per_compute_block=2)
+    want = aule_tpu.paged_attention_reference(q, k_pages, v_pages, bt, ctx)
+    assert_close(out, np.asarray(want), 3e-5, 3e-5, "top-level paged")

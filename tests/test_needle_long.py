@@ -28,7 +28,7 @@ def _build_needle_cache(ctx, hkv, d, page, needle_pos, rng):
     needle_dir /= np.linalg.norm(needle_dir)
     needle_value = rng.standard_normal(d).astype(np.float32)
     pg, off = needle_pos // page, needle_pos % page
-    k_pages[:, 1 + pg, off] = needle_dir * 6.0
+    k_pages[:, 1 + pg, off] = needle_dir * 12.0
     v_pages[:, 1 + pg, off] = needle_value
     bt = 1 + np.arange(n_pages, dtype=np.int32)[None, :]
     lens = np.array([ctx], np.int32)
@@ -42,7 +42,7 @@ def test_needle_quantized_paged(ctx, window):
     needle_pos = ctx - 2048  # inside the window when window=4096
     k_pages, v_pages, bt, lens, ndir, nval = _build_needle_cache(
         ctx, hkv, d, page, needle_pos, rng)
-    q = np.broadcast_to(ndir * 5.0, (1, hq, d)).astype(np.float32)
+    q = np.broadcast_to(ndir * 8.0, (1, hq, d)).astype(np.float32)
 
     # f32 reference decode
     want = np.asarray(paged_attention(
@@ -71,7 +71,7 @@ def test_needle_outside_window_is_forgotten():
     needle_pos = 100  # ancient token
     k_pages, v_pages, bt, lens, ndir, nval = _build_needle_cache(
         ctx, hkv, d, page, needle_pos, rng)
-    q = np.broadcast_to(ndir * 5.0, (1, hq, d)).astype(np.float32)
+    q = np.broadcast_to(ndir * 8.0, (1, hq, d)).astype(np.float32)
     out = np.asarray(paged_attention(
         jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
         jnp.asarray(bt), jnp.asarray(lens), window_size=512))
@@ -88,7 +88,7 @@ def test_needle_32k_quantized():
     hq, hkv, d, page, ctx = 8, 2, 128, 16, 32768
     k_pages, v_pages, bt, lens, ndir, nval = _build_needle_cache(
         ctx, hkv, d, page, ctx - 5000, rng)
-    q = np.broadcast_to(ndir * 5.0, (1, hq, d)).astype(np.float32)
+    q = np.broadcast_to(ndir * 8.0, (1, hq, d)).astype(np.float32)
     kq, ks = quantize_kv(jnp.asarray(k_pages), jnp.int8)
     vq, vs = quantize_kv(jnp.asarray(v_pages), jnp.int8)
     got = np.asarray(paged_attention(
