@@ -49,13 +49,15 @@ class TileConfig:
 
 
 # Per-generation tuned tiles.  Keys match jax device_kind prefixes.
+# v5e measured sweep (scripts/tune_blocks.py, B4 H32/8 S4096 D128 bf16
+# causal): (512,1024) 56 TFLOP/s > (256,1024) 49 > (512,512) 38;
+# (2048,*) exceeds the 16 MiB scoped-VMEM limit.
 TILE_TABLE = {
-    "default": TileConfig(),
-    # v5e: 128 MiB VMEM/core, 1 MXU per core
-    "v5 lite": TileConfig(block_q=256, block_kv=512, block_kv_compute=512),
-    "v5e": TileConfig(block_q=256, block_kv=512, block_kv_compute=512),
-    "v5p": TileConfig(block_q=512, block_kv=1024, block_kv_compute=512),
-    "v6": TileConfig(block_q=512, block_kv=1024, block_kv_compute=512),
+    "default": TileConfig(block_q=512, block_kv=1024),
+    "v5 lite": TileConfig(block_q=512, block_kv=1024),
+    "v5e": TileConfig(block_q=512, block_kv=1024),
+    "v5p": TileConfig(block_q=512, block_kv=1024),
+    "v6": TileConfig(block_q=512, block_kv=1024),
 }
 
 

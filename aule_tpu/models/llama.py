@@ -25,7 +25,11 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..ops.flash_vjp import flash_attention_vjp
-from ..ops.paged import kv_cache_append_decode, paged_attention
+from ..ops.paged import (
+    kv_cache_append_decode,
+    kv_cache_append_decode_quantized,
+    paged_attention,
+)
 from ..ops.rope import apply_rope, precompute_rope_frequencies
 
 try:
@@ -213,12 +217,18 @@ def decode_step(
     cfg: LlamaConfig,
     rope_cos: jnp.ndarray,
     rope_sin: jnp.ndarray,
+    k_scales: Optional[List[jnp.ndarray]] = None,  # per-layer, quantized
+    v_scales: Optional[List[jnp.ndarray]] = None,
 ):
     """One decode step: appends this token's K/V to the paged cache and
     attends over it with the paged kernel.  Returns
-    (logits [B, V], k_pages, v_pages, new_context_lens)."""
+    (logits [B, V], k_pages, v_pages, new_context_lens) — plus
+    (k_scales, v_scales) appended to the tuple when quantized pools are
+    passed."""
+    quantized = k_scales is not None
     x = params["embed"][token]  # [B, dim]
     new_k_pages, new_v_pages = [], []
+    new_k_scales, new_v_scales = [], []
     lens_out = context_lens
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
@@ -236,11 +246,20 @@ def decode_step(
             [k[..., :half] * c - k[..., half:] * sn,
              k[..., :half] * sn + k[..., half:] * c], axis=-1).astype(k.dtype)
 
-        kp, vp, lens_out = kv_cache_append_decode(
-            k_pages[li], v_pages[li], k, v, block_tables, context_lens)
+        if quantized:
+            kp, vp, ks, vs, lens_out = kv_cache_append_decode_quantized(
+                k_pages[li], v_pages[li], k_scales[li], v_scales[li],
+                k, v, block_tables, context_lens)
+            new_k_scales.append(ks)
+            new_v_scales.append(vs)
+            attn = paged_attention(q, kp, vp, block_tables, lens_out,
+                                   k_scales=ks, v_scales=vs)
+        else:
+            kp, vp, lens_out = kv_cache_append_decode(
+                k_pages[li], v_pages[li], k, v, block_tables, context_lens)
+            attn = paged_attention(q, kp, vp, block_tables, lens_out)
         new_k_pages.append(kp)
         new_v_pages.append(vp)
-        attn = paged_attention(q, kp, vp, block_tables, lens_out)
         x = x + attn.reshape(-1, cfg.n_heads * cfg.head_dim) @ layer["wo"]
 
         h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
@@ -250,6 +269,9 @@ def decode_step(
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
+    if quantized:
+        return (logits, new_k_pages, new_v_pages, lens_out,
+                new_k_scales, new_v_scales)
     return logits, new_k_pages, new_v_pages, lens_out
 
 

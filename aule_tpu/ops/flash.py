@@ -366,6 +366,24 @@ def flash_attention_fwd(
     return out, lse
 
 
+def flash_attention_rope(
+    q, k, v, rope_cos, rope_sin, *,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    window_size: int = -1,
+):
+    """Inference fast path: RoPE fused INSIDE the kernel (no rotated Q/K
+    materialized in HBM).  Forward-only — the reference's
+    `flash_attention_rope` contract (triton_flash.py:561-603); training
+    callers use flash_attention_pallas, which composes the rotation
+    differentiably outside the kernel."""
+    out, _ = flash_attention_fwd(
+        q, k, v, causal=causal, scale=scale, window_size=window_size,
+        rope_cos=rope_cos, rope_sin=rope_sin,
+    )
+    return out
+
+
 def flash_attention_pallas(
     q, k, v, *,
     causal: bool = False,

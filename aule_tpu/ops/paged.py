@@ -373,6 +373,28 @@ def kv_cache_append_decode_quantized(
     return k_pages, v_pages, k_scales, v_scales, context_lens + 1
 
 
+def _prefill_scatter_coords(batch, seq, page_size, block_tables,
+                            context_lens, seq_lens):
+    """(phys_flat, slot_flat, valid_flat) coords for a prefill scatter."""
+    pos = context_lens[:, None] + jnp.arange(seq)[None, :]      # [B, S]
+    valid = jnp.arange(seq)[None, :] < seq_lens[:, None]
+    phys = jnp.take_along_axis(block_tables, pos // page_size, axis=1)
+    phys = jnp.maximum(phys, 0)
+    bsz = batch * seq
+    return (phys.reshape(bsz), (pos % page_size).reshape(bsz),
+            valid.reshape(bsz))
+
+
+def _masked_pool_scatter(pool, values, phys_f, slot_f, valid_f):
+    """Scatter values [B*S, Hkv, ...] into pool [Hkv, P, page, ...] with
+    invalid tokens keeping the existing pool contents (read-modify-write —
+    no dummy page needed)."""
+    old = jnp.swapaxes(pool[:, phys_f, slot_f], 0, 1)
+    mask_shape = (valid_f.shape[0],) + (1,) * (values.ndim - 1)
+    vals = jnp.where(valid_f.reshape(mask_shape), values, old)
+    return pool.at[:, phys_f, slot_f].set(jnp.swapaxes(vals, 0, 1))
+
+
 def kv_cache_append_prefill(
     k_pages: jnp.ndarray,
     v_pages: jnp.ndarray,
@@ -384,30 +406,50 @@ def kv_cache_append_prefill(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Scatter a batch of prefill sequences into the pools.
 
-    Tokens beyond seq_lens[b] are dropped (scattered to a scratch page 0
-    guard is avoided by clamping to the last valid slot and masking via
-    out-of-range physical page handling below).
+    Tokens beyond seq_lens[b] are dropped (masked read-modify-write).
     """
     batch, hkv, seq, d = k_new.shape
-    page_size = k_pages.shape[2]
-    pos = context_lens[:, None] + jnp.arange(seq)[None, :]      # [B, S]
-    valid = jnp.arange(seq)[None, :] < seq_lens[:, None]
-    logical_page = pos // page_size
-    slot = pos % page_size
-    phys = jnp.take_along_axis(block_tables, logical_page, axis=1)
-    phys = jnp.maximum(phys, 0)
-    # route invalid tokens to a dummy write at page index num_pages-? ->
-    # instead mask by scattering the existing value (read-modify-write)
+    phys_f, slot_f, valid_f = _prefill_scatter_coords(
+        batch, seq, k_pages.shape[2], block_tables, context_lens, seq_lens)
     bsz = batch * seq
-    phys_f = phys.reshape(bsz)
-    slot_f = slot.reshape(bsz)
     kf = jnp.swapaxes(k_new, 1, 2).reshape(bsz, hkv, d)   # [B*S, Hkv, D]
     vf = jnp.swapaxes(v_new, 1, 2).reshape(bsz, hkv, d)
-    valid_f = valid.reshape(bsz)
-    old_k = jnp.swapaxes(k_pages[:, phys_f, slot_f], 0, 1)  # [B*S, Hkv, D]
-    old_v = jnp.swapaxes(v_pages[:, phys_f, slot_f], 0, 1)
-    kf = jnp.where(valid_f[:, None, None], kf, old_k)
-    vf = jnp.where(valid_f[:, None, None], vf, old_v)
-    k_pages = k_pages.at[:, phys_f, slot_f].set(jnp.swapaxes(kf, 0, 1))
-    v_pages = v_pages.at[:, phys_f, slot_f].set(jnp.swapaxes(vf, 0, 1))
+    k_pages = _masked_pool_scatter(k_pages, kf, phys_f, slot_f, valid_f)
+    v_pages = _masked_pool_scatter(v_pages, vf, phys_f, slot_f, valid_f)
     return k_pages, v_pages, context_lens + seq_lens
+
+
+def kv_cache_append_prefill_quantized(
+    k_pages: jnp.ndarray,       # int8/fp8 pools
+    v_pages: jnp.ndarray,
+    k_scales: jnp.ndarray,      # [Hkv, P, page] f32
+    v_scales: jnp.ndarray,
+    k_new: jnp.ndarray,         # [B, Hkv, S, D] full precision
+    v_new: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    context_lens: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+):
+    """Quantize prefill K/V per token and scatter payloads + scales."""
+    from .quant import quantize_kv
+
+    batch, hkv, seq, d = k_new.shape
+    phys_f, slot_f, valid_f = _prefill_scatter_coords(
+        batch, seq, k_pages.shape[2], block_tables, context_lens, seq_lens)
+    bsz = batch * seq
+    kq, ks = quantize_kv(k_new, k_pages.dtype)   # payload + [B,Hkv,S]
+    vq, vs = quantize_kv(v_new, v_pages.dtype)
+    k_pages = _masked_pool_scatter(
+        k_pages, jnp.swapaxes(kq, 1, 2).reshape(bsz, hkv, d),
+        phys_f, slot_f, valid_f)
+    v_pages = _masked_pool_scatter(
+        v_pages, jnp.swapaxes(vq, 1, 2).reshape(bsz, hkv, d),
+        phys_f, slot_f, valid_f)
+    k_scales = _masked_pool_scatter(
+        k_scales, jnp.swapaxes(ks, 1, 2).reshape(bsz, hkv),
+        phys_f, slot_f, valid_f)
+    v_scales = _masked_pool_scatter(
+        v_scales, jnp.swapaxes(vs, 1, 2).reshape(bsz, hkv),
+        phys_f, slot_f, valid_f)
+    return (k_pages, v_pages, k_scales, v_scales,
+            context_lens + seq_lens)

@@ -25,7 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import llama
-from ..ops.paged import kv_cache_append_prefill
+from ..ops.paged import (
+    kv_cache_append_prefill,
+    kv_cache_append_prefill_quantized,
+)
 from ..ops.rope import precompute_rope_frequencies
 from .kv_cache import PagePoolExhausted, PagedKVCache, make_allocator
 
@@ -60,20 +63,27 @@ class ServingEngine:
         max_pages_per_seq: int = 64,
         max_seq_len: int = 2048,
         sample: Callable[[jnp.ndarray], jnp.ndarray] = None,
+        quantized: bool = False,
     ):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.page_size = page_size
         self.max_pages_per_seq = max_pages_per_seq
+        self.quantized = quantized
         self.rope_cos, self.rope_sin = precompute_rope_frequencies(
             max_seq_len, cfg.head_dim, cfg.rope_base)
         self.sample = sample or (lambda logits: jnp.argmax(logits, -1))
 
         shape = (cfg.n_layers, cfg.n_kv_heads, num_pages, page_size,
                  cfg.head_dim)
-        self.k_pages = jnp.zeros(shape, cfg.dtype)
-        self.v_pages = jnp.zeros(shape, cfg.dtype)
+        pool_dtype = jnp.int8 if quantized else cfg.dtype
+        self.k_pages = jnp.zeros(shape, pool_dtype)
+        self.v_pages = jnp.zeros(shape, pool_dtype)
+        self.k_scales = (jnp.zeros(shape[:-1], jnp.float32)
+                         if quantized else None)
+        self.v_scales = (jnp.zeros(shape[:-1], jnp.float32)
+                         if quantized else None)
         self.allocator = make_allocator(num_pages)
         # Reserve page 0 as a scratch sink: empty batch slots carry -1
         # block tables which clamp to page 0, so their dummy decode
@@ -149,23 +159,31 @@ class ServingEngine:
             bt[s, :len(pages)] = pages
         return jnp.asarray(bt)
 
-    def _prefill(self, tokens, true_len, bt_row, k_pages, v_pages, *,
-                 pad_len):
+    def _prefill(self, tokens, true_len, bt_row, k_pages, v_pages,
+                 k_scales, v_scales, *, pad_len):
         """jit'd: forward + scatter prompt KV into pages for one request.
 
         tokens: [1, pad_len]; true_len: [1] valid-token count (padding
         tokens are masked out of the scatter); returns
-        (logits, k_pages, v_pages)."""
+        (logits, k_pages, v_pages, k_scales, v_scales)."""
         logits, kv = llama.forward(
             self.params, tokens, self.cfg,
             rope_cos=self.rope_cos, rope_sin=self.rope_sin, return_kv=True)
+        zero = jnp.zeros((1,), jnp.int32)
         for li, (k, v) in enumerate(kv):
-            kp, vp, _ = kv_cache_append_prefill(
-                k_pages[li], v_pages[li], k, v, bt_row[None],
-                jnp.zeros((1,), jnp.int32), true_len)
+            if self.quantized:
+                kp, vp, ks, vs, _ = kv_cache_append_prefill_quantized(
+                    k_pages[li], v_pages[li], k_scales[li], v_scales[li],
+                    k, v, bt_row[None], zero, true_len)
+                k_scales = k_scales.at[li].set(ks)
+                v_scales = v_scales.at[li].set(vs)
+            else:
+                kp, vp, _ = kv_cache_append_prefill(
+                    k_pages[li], v_pages[li], k, v, bt_row[None],
+                    zero, true_len)
             k_pages = k_pages.at[li].set(kp)
             v_pages = v_pages.at[li].set(vp)
-        return logits, k_pages, v_pages
+        return logits, k_pages, v_pages, k_scales, v_scales
 
     def _run_prefill(self, slot: int, req: Request) -> None:
         n = len(req.prompt)
@@ -175,23 +193,39 @@ class ServingEngine:
         bt = np.full((self.max_pages_per_seq,), -1, np.int32)
         pages = self.slot_pages[slot]
         bt[:len(pages)] = pages
-        logits, self.k_pages, self.v_pages = self._prefill_jit(
+        (logits, self.k_pages, self.v_pages, self.k_scales,
+         self.v_scales) = self._prefill_jit(
             jnp.asarray(tokens), jnp.asarray([n], jnp.int32),
-            jnp.asarray(bt), self.k_pages, self.v_pages, pad_len=pad_len)
+            jnp.asarray(bt), self.k_pages, self.v_pages,
+            self.k_scales, self.v_scales, pad_len=pad_len)
         # note: padded tail tokens scatter garbage beyond n, but
         # context_len = n hides them from decode
         self.slot_lens[slot] = n
         next_tok = int(self.sample(logits[0, n - 1]))
         req.output.append(next_tok)
 
-    def _decode_step(self, tokens, positions, bt, lens, k_pages, v_pages):
+    def _decode_step(self, tokens, positions, bt, lens, k_pages, v_pages,
+                     k_scales, v_scales):
+        L = self.cfg.n_layers
+        if self.quantized:
+            logits, kps, vps, new_lens, kss, vss = llama.decode_step(
+                self.params, tokens, positions,
+                [k_pages[i] for i in range(L)],
+                [v_pages[i] for i in range(L)],
+                bt, lens, self.cfg, self.rope_cos, self.rope_sin,
+                k_scales=[k_scales[i] for i in range(L)],
+                v_scales=[v_scales[i] for i in range(L)])
+            next_tokens = self.sample(logits)
+            return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
+                    jnp.stack(kss), jnp.stack(vss))
         logits, kps, vps, new_lens = llama.decode_step(
             self.params, tokens, positions,
-            [k_pages[i] for i in range(self.cfg.n_layers)],
-            [v_pages[i] for i in range(self.cfg.n_layers)],
+            [k_pages[i] for i in range(L)],
+            [v_pages[i] for i in range(L)],
             bt, lens, self.cfg, self.rope_cos, self.rope_sin)
         next_tokens = self.sample(logits)
-        return next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens
+        return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
+                k_scales, v_scales)
 
     def _decode_all(self) -> None:
         tokens = np.zeros((self.max_batch,), np.int32)
@@ -199,9 +233,10 @@ class ServingEngine:
             if req is not None and req.output:
                 tokens[s] = req.output[-1]
         lens = jnp.asarray(self.slot_lens)
-        next_tokens, self.k_pages, self.v_pages, new_lens = self._decode_jit(
+        (next_tokens, self.k_pages, self.v_pages, new_lens,
+         self.k_scales, self.v_scales) = self._decode_jit(
             jnp.asarray(tokens), lens, self._block_table(), lens,
-            self.k_pages, self.v_pages)
+            self.k_pages, self.v_pages, self.k_scales, self.v_scales)
         next_np = np.asarray(next_tokens)
         self.slot_lens = np.asarray(new_lens).copy()
         for s, req in enumerate(self.slots):
