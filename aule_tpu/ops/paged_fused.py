@@ -1,0 +1,300 @@
+"""Fused-layout paged decode: one DMA per page covering K+V and ALL kv heads.
+
+Decode throughput on TPU is limited by DMA issue rate when pages are small:
+the head-major vLLM layout (ops/paged.py) needs `2 * Hkv` DMAs per page
+(K and V, per head).  This kernel adopts the reference's own pool layout
+(src/block_pool.zig:9-16 / attention_paged.comp:76-104 — [blocks, 2, KVH,
+page, D]) so each page is ONE contiguous slab:
+
+    kv_pages: [num_pages, 2, Hkv, page_size, D]   (axis 1: 0=K, 1=V)
+
+cutting DMA count by 2*Hkv and growing each transfer by the same factor
+(e.g. 4 KB -> 64 KB for Hkv=8, D=128, page=16 bf16).  The grid also drops
+the head dimension: every kv head is computed per step via a batched
+dot_general over the resident slab.
+
+Quantized variant: scales ride in the same layout,
+    kv_scales: [num_pages, 2, Hkv, page_size] f32
+(one extra DMA per page, not per head).
+
+Layout converters to/from the vLLM-style pools are provided; the serving
+engine uses the fused layout natively.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import get_config, get_tile_config
+from .flash import DEFAULT_MASK_VALUE, NUM_LANES
+
+MIN_GROUP_PAD = 8
+
+
+def to_fused_layout(k_pages, v_pages, k_scales=None, v_scales=None):
+    """[Hkv, P, page, D] x2 -> [P, 2, Hkv, page, D] (+ scales)."""
+    kv = jnp.stack([jnp.swapaxes(k_pages, 0, 1),
+                    jnp.swapaxes(v_pages, 0, 1)], axis=1)
+    if k_scales is None:
+        return kv
+    sc = jnp.stack([jnp.swapaxes(k_scales, 0, 1),
+                    jnp.swapaxes(v_scales, 0, 1)], axis=1)
+    return kv, sc
+
+
+def from_fused_layout(kv_pages):
+    """[P, 2, Hkv, page, D] -> (k_pages, v_pages) head-major."""
+    return (jnp.swapaxes(kv_pages[:, 0], 0, 1),
+            jnp.swapaxes(kv_pages[:, 1], 0, 1))
+
+
+def _fused_decode_kernel(
+    ctx_ref, bt_ref,                  # scalar prefetch
+    q_ref,                            # [1, HkvGp, D] VMEM
+    kv_hbm,                           # [P, 2, Hkv, page, D] ANY
+    *rest,
+    page_size: int,
+    ppcb: int,
+    n_blocks: int,
+    hkv: int,
+    gp: int,
+    scale: float,
+    window: int,
+    quantized: bool,
+):
+    rest = list(rest)
+    sc_hbm = rest.pop(0) if quantized else None
+    o_ref = rest.pop(0)
+    if quantized:
+        (m_scr, l_scr, acc_scr, kv_buf, sc_buf, kv_sem, sc_sem) = rest
+    else:
+        (m_scr, l_scr, acc_scr, kv_buf, kv_sem) = rest
+        sc_buf = sc_sem = None
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    length = ctx_ref[b]
+    tokens_per_block = page_size * ppcb
+    n_live = pl.cdiv(length, tokens_per_block)
+
+    def start_dma(block_idx, slot):
+        for p in range(ppcb):
+            page_id = jnp.maximum(bt_ref[b, block_idx * ppcb + p], 0)
+            pltpu.make_async_copy(
+                kv_hbm.at[page_id], kv_buf.at[slot, p], kv_sem.at[slot]
+            ).start()
+            if quantized:
+                pltpu.make_async_copy(
+                    sc_hbm.at[page_id], sc_buf.at[slot, p], sc_sem.at[slot]
+                ).start()
+
+    def wait_dma(slot):
+        for p in range(ppcb):
+            pltpu.make_async_copy(
+                kv_hbm.at[0], kv_buf.at[slot, p], kv_sem.at[slot]
+            ).wait()
+            if quantized:
+                pltpu.make_async_copy(
+                    sc_hbm.at[0], sc_buf.at[slot, p], sc_sem.at[slot]
+                ).wait()
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        @pl.when(n_live > 0)
+        def _():
+            start_dma(0, 0)
+
+    @pl.when(i < n_live)
+    def _compute():
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_live)
+        def _prefetch():
+            start_dma(i + 1, 1 - slot)
+
+        wait_dma(slot)
+
+        precision = (jax.lax.Precision.HIGHEST
+                     if q_ref.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+        # buf: [ppcb, 2, Hkv, page, D] -> K/V [Hkv, tokens, D]
+        buf = kv_buf[slot]
+        k = jnp.swapaxes(buf[:, 0], 0, 1).reshape(hkv, tokens_per_block, -1)
+        v = jnp.swapaxes(buf[:, 1], 0, 1).reshape(hkv, tokens_per_block, -1)
+        if quantized:
+            k = k.astype(q_ref.dtype)
+            v = v.astype(q_ref.dtype)
+        q = q_ref[0].reshape(hkv, gp, -1)  # [Hkv, Gp, D]
+
+        # batched over kv heads: [Hkv, Gp, tokens]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * scale
+        if quantized:
+            ksc = jnp.swapaxes(sc_buf[slot][:, 0], 0, 1).reshape(
+                hkv, 1, tokens_per_block)
+            s = s * ksc
+        s = s.reshape(hkv * gp, tokens_per_block)
+
+        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+            + i * tokens_per_block
+        valid = pos < length
+        if window > 0:
+            valid = jnp.logical_and(valid, (length - 1 - pos) < window)
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        p = jnp.where(valid, p, 0.0)
+        l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = jnp.broadcast_to(l_next[:, :1], l_prev.shape)
+
+        if quantized:
+            vsc = jnp.swapaxes(sc_buf[slot][:, 1], 0, 1).reshape(
+                hkv, 1, tokens_per_block)
+            p = (p.reshape(hkv, gp, tokens_per_block) * vsc).reshape(
+                hkv * gp, tokens_per_block)
+        pv = jax.lax.dot_general(
+            p.reshape(hkv, gp, tokens_per_block).astype(v.dtype), v,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [Hkv, Gp, D]
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] \
+            + pv.reshape(hkv * gp, -1)
+
+    @pl.when(i == n_blocks - 1)
+    def _store():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+def paged_attention_fused(
+    q: jnp.ndarray,                # [B, Hq, D]
+    kv_pages: jnp.ndarray,         # [P, 2, Hkv, page, D]
+    block_tables: jnp.ndarray,     # [B, max_pages]
+    context_lens: jnp.ndarray,     # [B]
+    *,
+    kv_scales: Optional[jnp.ndarray] = None,   # [P, 2, Hkv, page] f32
+    scale: Optional[float] = None,
+    window_size: int = -1,
+    pages_per_compute_block: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused-layout paged decode (see module docstring)."""
+    batch, hq, d = q.shape
+    num_pages, _, hkv, page_size, _ = kv_pages.shape
+    group = hq // hkv
+    max_pages = block_tables.shape[1]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d))
+    window = int(window_size) if window_size and window_size > 0 else -1
+    quantized = kv_scales is not None
+
+    ppcb = pages_per_compute_block or get_tile_config().pages_per_compute_block
+    ppcb = min(ppcb, max_pages)
+    if max_pages % ppcb != 0:
+        pad = ppcb - max_pages % ppcb
+        block_tables = jnp.pad(block_tables, ((0, 0), (0, pad)))
+        max_pages += pad
+    n_blocks = max_pages // ppcb
+
+    # group rows per kv head, padded so each head's row block is sublane
+    # aligned: q -> [B, Hkv * Gp, D]
+    gp = group if group % MIN_GROUP_PAD == 0 else _pad_group(group)
+    qg = q.reshape(batch, hkv, group, d)
+    if gp != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
+    qg = qg.reshape(batch, hkv * gp, d)
+
+    if interpret is None:
+        interpret = get_config().interpret or (
+            jax.devices()[0].platform != "tpu"
+        )
+
+    in_specs = [
+        pl.BlockSpec((1, hkv * gp, d), lambda b, i, *_: (b, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [qg, kv_pages]
+    scratch = [
+        pltpu.VMEM((hkv * gp, NUM_LANES), jnp.float32),
+        pltpu.VMEM((hkv * gp, NUM_LANES), jnp.float32),
+        pltpu.VMEM((hkv * gp, d), jnp.float32),
+        pltpu.VMEM((2, ppcb, 2, hkv, page_size, d), kv_pages.dtype),
+    ]
+    sems = [pltpu.SemaphoreType.DMA((2,))]
+    if quantized:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(kv_scales)
+        scratch.append(
+            pltpu.VMEM((2, ppcb, 2, hkv, page_size), jnp.float32))
+        sems.append(pltpu.SemaphoreType.DMA((2,)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hkv * gp, d), lambda b, i, *_: (b, 0, 0)),
+        scratch_shapes=scratch + sems,
+    )
+
+    kernel = functools.partial(
+        _fused_decode_kernel,
+        page_size=page_size, ppcb=ppcb, n_blocks=n_blocks,
+        hkv=hkv, gp=gp, scale=float(scale), window=window,
+        quantized=quantized,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, hkv * gp, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(context_lens.astype(jnp.int32), block_tables.astype(jnp.int32),
+      *args)
+
+    out = out.reshape(batch, hkv, gp, d)[:, :, :group]
+    return out.reshape(batch, hq, d)
+
+
+def _pad_group(group: int) -> int:
+    return ((group + MIN_GROUP_PAD - 1) // MIN_GROUP_PAD) * MIN_GROUP_PAD
+
+
+def kv_cache_append_decode_fused(
+    kv_pages: jnp.ndarray,      # [P, 2, Hkv, page, D]
+    k_new: jnp.ndarray,         # [B, Hkv, D]
+    v_new: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    context_lens: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    page_size = kv_pages.shape[3]
+    batch = k_new.shape[0]
+    slot = context_lens % page_size
+    phys = jnp.maximum(
+        block_tables[jnp.arange(batch), context_lens // page_size], 0)
+    new = jnp.stack([k_new, v_new], axis=1)  # [B, 2, Hkv, D]
+    kv_pages = kv_pages.at[phys, :, :, slot].set(new)
+    return kv_pages, context_lens + 1

@@ -45,8 +45,18 @@ def time_fn(fn, *args, warmup=3, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+def _warm_transport():
+    """The first timed execution in a process is dominated by transport
+    warm-up (observed ~2000 ms vs 10 ms steady state); burn it on a dummy.
+    """
+    x = jnp.ones((1024, 1024), jnp.bfloat16)
+    f = jax.jit(lambda x: x @ x)
+    time_fn(f, x, warmup=2, iters=3)
+
+
 def bench_decode(batch=8, hq=32, hkv=8, d=128, ctx=4096, page=16,
-                 dtype=jnp.bfloat16, quantized=False):
+                 dtype=jnp.bfloat16, quantized=False, fused=True,
+                 ppcb=None):
     rng = np.random.default_rng(0)
     n_pages_seq = ctx // page
     num_pages = batch * n_pages_seq + 1
@@ -59,17 +69,38 @@ def bench_decode(batch=8, hq=32, hkv=8, d=128, ctx=4096, page=16,
         1 + np.arange(batch * n_pages_seq, dtype=np.int32).reshape(
             batch, n_pages_seq))
     lens = jnp.full((batch,), ctx, jnp.int32)
+    if ppcb is None:
+        ppcb = 32 if fused else 8
 
-    if quantized:
+    if fused:
+        from aule_tpu.ops.paged_fused import (
+            paged_attention_fused,
+            to_fused_layout,
+        )
+
+        if quantized:
+            kq, ks = quantize_kv(kf, jnp.int8)
+            vq, vs = quantize_kv(vf, jnp.int8)
+            kv, sc = to_fused_layout(kq, vq, ks, vs)
+            fn = jax.jit(lambda q: paged_attention_fused(
+                q, kv, bt, lens, kv_scales=sc,
+                pages_per_compute_block=ppcb, interpret=False))
+        else:
+            kv = to_fused_layout(kf.astype(dtype), vf.astype(dtype))
+            fn = jax.jit(lambda q: paged_attention_fused(
+                q, kv, bt, lens, pages_per_compute_block=ppcb,
+                interpret=False))
+    elif quantized:
         kq, ks = quantize_kv(kf, jnp.int8)
         vq, vs = quantize_kv(vf, jnp.int8)
         fn = jax.jit(lambda q: paged_attention(
             q, kq, vq, bt, lens, k_scales=ks, v_scales=vs,
-            interpret=False))
+            pages_per_compute_block=ppcb, interpret=False))
     else:
         kc, vc = kf.astype(dtype), vf.astype(dtype)
         fn = jax.jit(lambda q: paged_attention(
-            q, kc, vc, bt, lens, interpret=False))
+            q, kc, vc, bt, lens, pages_per_compute_block=ppcb,
+            interpret=False))
     dt = time_fn(fn, q)
     return batch / dt, dt
 
@@ -100,15 +131,25 @@ def main():
                           "vs_baseline": 0.0}))
         return
 
-    toks, dt = bench_decode(dtype=jnp.bfloat16)
-    log(f"paged decode bf16 B8 ctx4096: {toks:,.0f} tok/s ({dt*1e3:.2f} ms)")
+    _warm_transport()
+
+    toks, dt = bench_decode(dtype=jnp.bfloat16, fused=True)
+    log(f"paged decode bf16 fused B8 ctx4096: {toks:,.0f} tok/s "
+        f"({dt*1e3:.2f} ms)")
 
     try:
-        toks_i8, dt_i8 = bench_decode(quantized=True)
-        log(f"paged decode int8 B8 ctx4096: {toks_i8:,.0f} tok/s "
+        toks_i8, dt_i8 = bench_decode(quantized=True, fused=True)
+        log(f"paged decode int8 fused B8 ctx4096: {toks_i8:,.0f} tok/s "
             f"({dt_i8*1e3:.2f} ms)")
     except Exception as e:  # pragma: no cover
         log(f"int8 decode failed: {e!r}")
+
+    try:
+        toks_hm, dt_hm = bench_decode(dtype=jnp.bfloat16, fused=False)
+        log(f"paged decode bf16 vLLM-layout B8 ctx4096: {toks_hm:,.0f} "
+            f"tok/s ({dt_hm*1e3:.2f} ms)")
+    except Exception as e:  # pragma: no cover
+        log(f"head-major decode failed: {e!r}")
 
     try:
         tf, dtp = bench_prefill()
