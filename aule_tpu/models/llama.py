@@ -293,3 +293,68 @@ def train_step(params, tokens, cfg: LlamaConfig, lr: float = 1e-4,
         if p.dtype != jnp.float32 else p - lr * g.astype(jnp.float32),
         params, grads)
     return params, loss
+
+
+def decode_step_fused(
+    params: Dict[str, Any],
+    token: jnp.ndarray,            # [B] int32
+    positions: jnp.ndarray,        # [B] int32
+    kv_pages: List[jnp.ndarray],   # per-layer fused pools [P,2,Hkv,page,D]
+    block_tables: jnp.ndarray,
+    context_lens: jnp.ndarray,
+    cfg: LlamaConfig,
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    kv_scales: Optional[List[jnp.ndarray]] = None,
+):
+    """decode_step over fused-layout pools (ops/paged_fused.py) — the
+    serving fast path: one DMA per page spanning K+V and all kv heads.
+    Quantizes appended tokens when scale pools are passed."""
+    from ..ops.paged_fused import (
+        kv_cache_append_decode_fused,
+        paged_attention_fused,
+    )
+
+    quantized = kv_scales is not None
+    x = params["embed"][token]
+    new_kv, new_sc = [], []
+    lens_out = context_lens
+    c = rope_cos[positions][:, None, :]
+    sn = rope_sin[positions][:, None, :]
+    half = cfg.head_dim // 2
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = (h @ layer["wq"]).reshape(-1, cfg.n_heads, cfg.head_dim)
+        k = (h @ layer["wk"]).reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+        v = (h @ layer["wv"]).reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+        q = jnp.concatenate(
+            [q[..., :half] * c - q[..., half:] * sn,
+             q[..., :half] * sn + q[..., half:] * c], axis=-1).astype(q.dtype)
+        k = jnp.concatenate(
+            [k[..., :half] * c - k[..., half:] * sn,
+             k[..., :half] * sn + k[..., half:] * c], axis=-1).astype(k.dtype)
+
+        if quantized:
+            kv, sc, lens_out = kv_cache_append_decode_fused(
+                kv_pages[li], k, v, block_tables, context_lens,
+                kv_scales=kv_scales[li])
+            new_sc.append(sc)
+            attn = paged_attention_fused(q, kv, block_tables, lens_out,
+                                         kv_scales=sc)
+        else:
+            kv, lens_out = kv_cache_append_decode_fused(
+                kv_pages[li], k, v, block_tables, context_lens)
+            attn = paged_attention_fused(q, kv, block_tables, lens_out)
+        new_kv.append(kv)
+        x = x + attn.reshape(-1, cfg.n_heads * cfg.head_dim) @ layer["wo"]
+
+        h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
+        x = x + ((gate * (h @ layer["w_up"]).astype(jnp.float32)).astype(
+            x.dtype) @ layer["w_down"])
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    if quantized:
+        return logits, new_kv, lens_out, new_sc
+    return logits, new_kv, lens_out

@@ -131,11 +131,20 @@ def _fused_decode_kernel(
                      else jax.lax.Precision.DEFAULT)
         # buf: [ppcb, 2, Hkv, page, D] -> K/V [Hkv, tokens, D]
         buf = kv_buf[slot]
-        k = jnp.swapaxes(buf[:, 0], 0, 1).reshape(hkv, tokens_per_block, -1)
-        v = jnp.swapaxes(buf[:, 1], 0, 1).reshape(hkv, tokens_per_block, -1)
         if quantized:
-            k = k.astype(q_ref.dtype)
-            v = v.astype(q_ref.dtype)
+            # dequantize payloads in the DMA'd layout (per-token scales
+            # broadcast on the last dim) BEFORE the head transpose —
+            # avoids an unsupported cross-tile relayout of the small
+            # scale vectors
+            sc = sc_buf[slot]  # [ppcb, 2, hkv, page] f32
+            deq = buf.astype(jnp.float32) * sc[..., None]
+            kd = deq[:, 0].astype(q_ref.dtype)
+            vd = deq[:, 1].astype(q_ref.dtype)
+        else:
+            kd = buf[:, 0]
+            vd = buf[:, 1]
+        k = jnp.swapaxes(kd, 0, 1).reshape(hkv, tokens_per_block, -1)
+        v = jnp.swapaxes(vd, 0, 1).reshape(hkv, tokens_per_block, -1)
         q = q_ref[0].reshape(hkv, gp, -1)  # [Hkv, Gp, D]
 
         # batched over kv heads: [Hkv, Gp, tokens]
@@ -143,10 +152,6 @@ def _fused_decode_kernel(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=precision,
         ) * scale
-        if quantized:
-            ksc = jnp.swapaxes(sc_buf[slot][:, 0], 0, 1).reshape(
-                hkv, 1, tokens_per_block)
-            s = s * ksc
         s = s.reshape(hkv * gp, tokens_per_block)
 
         pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
@@ -167,11 +172,6 @@ def _fused_decode_kernel(
         m_scr[...] = m_next
         l_scr[...] = jnp.broadcast_to(l_next[:, :1], l_prev.shape)
 
-        if quantized:
-            vsc = jnp.swapaxes(sc_buf[slot][:, 1], 0, 1).reshape(
-                hkv, 1, tokens_per_block)
-            p = (p.reshape(hkv, gp, tokens_per_block) * vsc).reshape(
-                hkv * gp, tokens_per_block)
         pv = jax.lax.dot_general(
             p.reshape(hkv, gp, tokens_per_block).astype(v.dtype), v,
             (((2,), (1,)), ((0,), (0,))),
@@ -289,12 +289,61 @@ def kv_cache_append_decode_fused(
     v_new: jnp.ndarray,
     block_tables: jnp.ndarray,
     context_lens: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    kv_scales: Optional[jnp.ndarray] = None,  # [P, 2, Hkv, page]
+):
+    """Append one token per sequence to a fused pool; quantizes on the way
+    in when a scales pool is passed."""
     page_size = kv_pages.shape[3]
     batch = k_new.shape[0]
     slot = context_lens % page_size
     phys = jnp.maximum(
         block_tables[jnp.arange(batch), context_lens // page_size], 0)
     new = jnp.stack([k_new, v_new], axis=1)  # [B, 2, Hkv, D]
-    kv_pages = kv_pages.at[phys, :, :, slot].set(new)
+    if kv_scales is not None:
+        from .quant import quantize_kv
+
+        payload, sc = quantize_kv(new, kv_pages.dtype)
+        kv_pages = kv_pages.at[phys, :, :, slot].set(payload)
+        kv_scales = kv_scales.at[phys, :, :, slot].set(sc)
+        return kv_pages, kv_scales, context_lens + 1
+    kv_pages = kv_pages.at[phys, :, :, slot].set(new.astype(kv_pages.dtype))
     return kv_pages, context_lens + 1
+
+
+def kv_cache_append_prefill_fused(
+    kv_pages: jnp.ndarray,      # [P, 2, Hkv, page, D]
+    k_new: jnp.ndarray,         # [B, Hkv, S, D]
+    v_new: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    context_lens: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    kv_scales: Optional[jnp.ndarray] = None,
+):
+    """Scatter prefill K/V into a fused pool (masked read-modify-write for
+    padding tokens); quantizes when a scales pool is passed."""
+    from .paged import _prefill_scatter_coords
+
+    batch, hkv, seq, d = k_new.shape
+    page_size = kv_pages.shape[3]
+    phys_f, slot_f, valid_f = _prefill_scatter_coords(
+        batch, seq, page_size, block_tables, context_lens, seq_lens)
+    bsz = batch * seq
+    # [B, 2, Hkv, S, D] -> [B*S, 2, Hkv, D]
+    new = jnp.stack([k_new, v_new], axis=1)
+    new = jnp.moveaxis(new, 3, 1).reshape(bsz, 2, hkv, d)
+
+    def scatter(pool, values):
+        old = pool[phys_f, :, :, slot_f]  # [B*S, 2, Hkv, ...]
+        mask_shape = (bsz,) + (1,) * (values.ndim - 1)
+        vals = jnp.where(valid_f.reshape(mask_shape), values, old)
+        return pool.at[phys_f, :, :, slot_f].set(vals)
+
+    if kv_scales is not None:
+        from .quant import quantize_kv
+
+        payload, sc = quantize_kv(new, kv_pages.dtype)
+        kv_pages = scatter(kv_pages, payload)
+        kv_scales = scatter(kv_scales, sc)
+        return kv_pages, kv_scales, context_lens + seq_lens
+    kv_pages = scatter(kv_pages, new.astype(kv_pages.dtype))
+    return kv_pages, context_lens + seq_lens

@@ -29,6 +29,7 @@ from ..ops.paged import (
     kv_cache_append_prefill,
     kv_cache_append_prefill_quantized,
 )
+from ..ops.paged_fused import kv_cache_append_prefill_fused
 from ..ops.rope import precompute_rope_frequencies
 from .kv_cache import PagePoolExhausted, PagedKVCache, make_allocator
 
@@ -64,26 +65,42 @@ class ServingEngine:
         max_seq_len: int = 2048,
         sample: Callable[[jnp.ndarray], jnp.ndarray] = None,
         quantized: bool = False,
+        layout: str = "fused",
     ):
+        """layout='fused' (default) stores KV in the single-DMA-per-page
+        pool layout (ops/paged_fused.py — the serving fast path);
+        layout='split' keeps vLLM-style head-major pools."""
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.page_size = page_size
         self.max_pages_per_seq = max_pages_per_seq
         self.quantized = quantized
+        if layout not in ("fused", "split"):
+            raise ValueError(f"unknown layout {layout!r}")
+        self.layout = layout
         self.rope_cos, self.rope_sin = precompute_rope_frequencies(
             max_seq_len, cfg.head_dim, cfg.rope_base)
         self.sample = sample or (lambda logits: jnp.argmax(logits, -1))
 
-        shape = (cfg.n_layers, cfg.n_kv_heads, num_pages, page_size,
-                 cfg.head_dim)
         pool_dtype = jnp.int8 if quantized else cfg.dtype
-        self.k_pages = jnp.zeros(shape, pool_dtype)
-        self.v_pages = jnp.zeros(shape, pool_dtype)
-        self.k_scales = (jnp.zeros(shape[:-1], jnp.float32)
-                         if quantized else None)
-        self.v_scales = (jnp.zeros(shape[:-1], jnp.float32)
-                         if quantized else None)
+        if layout == "fused":
+            shape = (cfg.n_layers, num_pages, 2, cfg.n_kv_heads,
+                     page_size, cfg.head_dim)
+            self.k_pages = jnp.zeros(shape, pool_dtype)  # fused kv pool
+            self.v_pages = None
+            self.k_scales = (jnp.zeros(shape[:-1], jnp.float32)
+                             if quantized else None)
+            self.v_scales = None
+        else:
+            shape = (cfg.n_layers, cfg.n_kv_heads, num_pages, page_size,
+                     cfg.head_dim)
+            self.k_pages = jnp.zeros(shape, pool_dtype)
+            self.v_pages = jnp.zeros(shape, pool_dtype)
+            self.k_scales = (jnp.zeros(shape[:-1], jnp.float32)
+                             if quantized else None)
+            self.v_scales = (jnp.zeros(shape[:-1], jnp.float32)
+                             if quantized else None)
         self.allocator = make_allocator(num_pages)
         # Reserve page 0 as a scratch sink: empty batch slots carry -1
         # block tables which clamp to page 0, so their dummy decode
@@ -171,6 +188,17 @@ class ServingEngine:
             rope_cos=self.rope_cos, rope_sin=self.rope_sin, return_kv=True)
         zero = jnp.zeros((1,), jnp.int32)
         for li, (k, v) in enumerate(kv):
+            if self.layout == "fused":
+                if self.quantized:
+                    kvp, sc, _ = kv_cache_append_prefill_fused(
+                        k_pages[li], k, v, bt_row[None], zero, true_len,
+                        kv_scales=k_scales[li])
+                    k_scales = k_scales.at[li].set(sc)
+                else:
+                    kvp, _ = kv_cache_append_prefill_fused(
+                        k_pages[li], k, v, bt_row[None], zero, true_len)
+                k_pages = k_pages.at[li].set(kvp)
+                continue
             if self.quantized:
                 kp, vp, ks, vs, _ = kv_cache_append_prefill_quantized(
                     k_pages[li], v_pages[li], k_scales[li], v_scales[li],
@@ -207,6 +235,20 @@ class ServingEngine:
     def _decode_step(self, tokens, positions, bt, lens, k_pages, v_pages,
                      k_scales, v_scales):
         L = self.cfg.n_layers
+        if self.layout == "fused":
+            pools = [k_pages[i] for i in range(L)]
+            if self.quantized:
+                logits, kvs, new_lens, scs = llama.decode_step_fused(
+                    self.params, tokens, positions, pools, bt, lens,
+                    self.cfg, self.rope_cos, self.rope_sin,
+                    kv_scales=[k_scales[i] for i in range(L)])
+                return (self.sample(logits), jnp.stack(kvs), v_pages,
+                        new_lens, jnp.stack(scs), v_scales)
+            logits, kvs, new_lens = llama.decode_step_fused(
+                self.params, tokens, positions, pools, bt, lens,
+                self.cfg, self.rope_cos, self.rope_sin)
+            return (self.sample(logits), jnp.stack(kvs), v_pages,
+                    new_lens, k_scales, v_scales)
         if self.quantized:
             logits, kps, vps, new_lens, kss, vss = llama.decode_step(
                 self.params, tokens, positions,
