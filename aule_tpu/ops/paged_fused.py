@@ -56,7 +56,7 @@ def from_fused_layout(kv_pages):
 
 
 def _fused_decode_kernel(
-    ctx_ref, bt_ref,                  # scalar prefetch
+    ctx_ref, bt_ref, cont_ref,        # scalar prefetch
     q_ref,                            # [1, HkvGp, D] VMEM
     kv_hbm,                           # [P, 2, Hkv, page, D] ANY
     *rest,
@@ -86,25 +86,48 @@ def _fused_decode_kernel(
     n_live = pl.cdiv(length, tokens_per_block)
 
     def start_dma(block_idx, slot):
-        for p in range(ppcb):
-            page_id = jnp.maximum(bt_ref[b, block_idx * ppcb + p], 0)
+        # Contiguous-run coalescing: the page allocator hands out LIFO
+        # runs, so a compute block's ppcb pages are usually physically
+        # consecutive — one big DMA instead of ppcb small ones.  Both
+        # paths move the same bytes through the same semaphore, so the
+        # single big-descriptor wait below matches either.
+        contiguous = cont_ref[b, block_idx] == 1
+        start_page = jnp.maximum(bt_ref[b, block_idx * ppcb], 0)
+
+        @pl.when(contiguous)
+        def _one_dma():
             pltpu.make_async_copy(
-                kv_hbm.at[page_id], kv_buf.at[slot, p], kv_sem.at[slot]
+                kv_hbm.at[pl.ds(start_page, ppcb)], kv_buf.at[slot],
+                kv_sem.at[slot]
             ).start()
             if quantized:
                 pltpu.make_async_copy(
-                    sc_hbm.at[page_id], sc_buf.at[slot, p], sc_sem.at[slot]
+                    sc_hbm.at[pl.ds(start_page, ppcb)], sc_buf.at[slot],
+                    sc_sem.at[slot]
                 ).start()
 
-    def wait_dma(slot):
-        for p in range(ppcb):
-            pltpu.make_async_copy(
-                kv_hbm.at[0], kv_buf.at[slot, p], kv_sem.at[slot]
-            ).wait()
-            if quantized:
+        @pl.when(jnp.logical_not(contiguous))
+        def _per_page():
+            for p in range(ppcb):
+                page_id = jnp.maximum(bt_ref[b, block_idx * ppcb + p], 0)
                 pltpu.make_async_copy(
-                    sc_hbm.at[0], sc_buf.at[slot, p], sc_sem.at[slot]
-                ).wait()
+                    kv_hbm.at[page_id], kv_buf.at[slot, p], kv_sem.at[slot]
+                ).start()
+                if quantized:
+                    pltpu.make_async_copy(
+                        sc_hbm.at[page_id], sc_buf.at[slot, p],
+                        sc_sem.at[slot]
+                    ).start()
+
+    def wait_dma(slot):
+        # one wait for the whole block's bytes (matches either start path)
+        pltpu.make_async_copy(
+            kv_hbm.at[pl.ds(0, ppcb)], kv_buf.at[slot], kv_sem.at[slot]
+        ).wait()
+        if quantized:
+            pltpu.make_async_copy(
+                sc_hbm.at[pl.ds(0, ppcb)], sc_buf.at[slot], sc_sem.at[slot]
+            ).wait()
 
     @pl.when(i == 0)
     def _init():
@@ -249,8 +272,17 @@ def paged_attention_fused(
             pltpu.VMEM((2, ppcb, 2, hkv, page_size), jnp.float32))
         sems.append(pltpu.SemaphoreType.DMA((2,)))
 
+    # per-(seq, block) physical-contiguity flags for DMA coalescing
+    bt_blocks = block_tables.reshape(batch, n_blocks, ppcb)
+    expected = bt_blocks[..., :1] + jnp.arange(ppcb, dtype=jnp.int32)
+    cont = jnp.all(bt_blocks == expected, axis=-1)
+    cont = jnp.logical_and(cont, bt_blocks[..., 0] >= 0)
+    # a coalesced run must not read past the pool end
+    cont = jnp.logical_and(cont, bt_blocks[..., 0] + ppcb <= num_pages)
+    cont = cont.astype(jnp.int32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(batch, n_blocks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hkv * gp, d), lambda b, i, *_: (b, 0, 0)),
@@ -273,7 +305,7 @@ def paged_attention_fused(
         ),
         interpret=interpret,
     )(context_lens.astype(jnp.int32), block_tables.astype(jnp.int32),
-      *args)
+      cont, *args)
 
     out = out.reshape(batch, hkv, gp, d)[:, :, :group]
     return out.reshape(batch, hq, d)
