@@ -44,20 +44,23 @@ class TileConfig:
     block_kv_dkv: int = 256
     block_q_dq: int = 256
     block_kv_dq: int = 128
-    # paged decode
+    # paged decode (fused-layout sweep on v5e: ppcb 32 > 16 >> 8;
+    # split layout is DMA-issue-bound and flat in ppcb)
     pages_per_compute_block: int = 8
+    pages_per_compute_block_fused: int = 32
 
 
 # Per-generation tuned tiles.  Keys match jax device_kind prefixes.
 # v5e measured sweep (scripts/tune_blocks.py, B4 H32/8 S4096 D128 bf16
-# causal): (512,1024) 56 TFLOP/s > (256,1024) 49 > (512,512) 38;
-# (2048,*) exceeds the 16 MiB scoped-VMEM limit.
+# causal, on-device fori_loop timing): (1024,1024) 92 TFLOP/s >
+# (512,1024) 78 > (1024,2048) 81 > (512,512) 48; block_q=2048 exceeds
+# the scoped-VMEM limit.
 TILE_TABLE = {
-    "default": TileConfig(block_q=512, block_kv=1024),
-    "v5 lite": TileConfig(block_q=512, block_kv=1024),
-    "v5e": TileConfig(block_q=512, block_kv=1024),
-    "v5p": TileConfig(block_q=512, block_kv=1024),
-    "v6": TileConfig(block_q=512, block_kv=1024),
+    "default": TileConfig(block_q=1024, block_kv=1024),
+    "v5 lite": TileConfig(block_q=1024, block_kv=1024),
+    "v5e": TileConfig(block_q=1024, block_kv=1024),
+    "v5p": TileConfig(block_q=1024, block_kv=1024),
+    "v6": TileConfig(block_q=1024, block_kv=1024),
 }
 
 

@@ -13,9 +13,17 @@ cutting DMA count by 2*Hkv and growing each transfer by the same factor
 the head dimension: every kv head is computed per step via a batched
 dot_general over the resident slab.
 
-Quantized variant: scales ride in the same layout,
-    kv_scales: [num_pages, 2, Hkv, page_size] f32
-(one extra DMA per page, not per head).
+Quantized variant: per-token scales ride as ONE f32 tile per page,
+    kv_scales: [num_pages, SCALE_ROWS, 128] f32
+with row `kv*rows_per_kv + (h*page_size + slot)//128`, lane
+`(h*page_size + slot) % 128` (rows_per_kv = ceil(Hkv*page/128); row count
+padded to the f32 sublane tile of 8).  Rationale: Mosaic requires DMA
+slices to be tiling-aligned, so the natural [P, 2, Hkv, page] layout (minor
+dim = page) cannot be sliced per page; one packed (8,128) tile per page is
+the smallest aligned unit — +12.5% bytes over an int8 payload, vs the 400%
+the scale-broadcast-over-head-dim approach pays (cf. jax pallas
+paged_attention_kernel.py's jnp.broadcast_to of scales).  Use
+`pack_fused_scales`/`unpack_fused_scales` to convert.
 
 Layout converters to/from the vLLM-style pools are provided; the serving
 engine uses the fused layout natively.
@@ -38,15 +46,60 @@ from .flash import DEFAULT_MASK_VALUE, NUM_LANES
 MIN_GROUP_PAD = 8
 
 
+def rows_per_kv(hkv: int, page_size: int) -> int:
+    """f32-tile rows needed for one kv slot's per-token scales."""
+    return -(-(hkv * page_size) // NUM_LANES)
+
+
+def scale_rows(hkv: int, page_size: int) -> int:
+    """Total rows of the packed scale tile (padded to the f32 sublane 8)."""
+    r = 2 * rows_per_kv(hkv, page_size)
+    return -(-r // 8) * 8
+
+
+def fused_scales_shape(num_pages: int, hkv: int, page_size: int):
+    return (num_pages, scale_rows(hkv, page_size), NUM_LANES)
+
+
+def pack_fused_scales(k_scales, v_scales):
+    """Head-major scales [Hkv, P, page] x2 -> packed [P, SCALE_ROWS, 128]."""
+    hkv, num_pages, page_size = k_scales.shape
+    rpk = rows_per_kv(hkv, page_size)
+    sr = scale_rows(hkv, page_size)
+
+    def rows(s):
+        flat = jnp.swapaxes(s, 0, 1).reshape(num_pages, hkv * page_size)
+        pad = rpk * NUM_LANES - hkv * page_size
+        if pad:
+            flat = jnp.pad(flat, ((0, 0), (0, pad)))
+        return flat.reshape(num_pages, rpk, NUM_LANES)
+
+    packed = jnp.concatenate([rows(k_scales), rows(v_scales)], axis=1)
+    if sr != 2 * rpk:
+        packed = jnp.pad(packed, ((0, 0), (0, sr - 2 * rpk), (0, 0)))
+    return packed
+
+
+def unpack_fused_scales(packed, hkv: int, page_size: int):
+    """Packed [P, SCALE_ROWS, 128] -> head-major ([Hkv,P,page], [Hkv,P,page])."""
+    num_pages = packed.shape[0]
+    rpk = rows_per_kv(hkv, page_size)
+
+    def heads(rows):
+        flat = rows.reshape(num_pages, rpk * NUM_LANES)[:, : hkv * page_size]
+        return jnp.swapaxes(
+            flat.reshape(num_pages, hkv, page_size), 0, 1)
+
+    return heads(packed[:, :rpk]), heads(packed[:, rpk:2 * rpk])
+
+
 def to_fused_layout(k_pages, v_pages, k_scales=None, v_scales=None):
-    """[Hkv, P, page, D] x2 -> [P, 2, Hkv, page, D] (+ scales)."""
+    """[Hkv, P, page, D] x2 -> [P, 2, Hkv, page, D] (+ packed scales)."""
     kv = jnp.stack([jnp.swapaxes(k_pages, 0, 1),
                     jnp.swapaxes(v_pages, 0, 1)], axis=1)
     if k_scales is None:
         return kv
-    sc = jnp.stack([jnp.swapaxes(k_scales, 0, 1),
-                    jnp.swapaxes(v_scales, 0, 1)], axis=1)
-    return kv, sc
+    return kv, pack_fused_scales(k_scales, v_scales)
 
 
 def from_fused_layout(kv_pages):
@@ -70,7 +123,7 @@ def _fused_decode_kernel(
     quantized: bool,
 ):
     rest = list(rest)
-    sc_hbm = rest.pop(0) if quantized else None
+    sc_hbm = rest.pop(0) if quantized else None  # [P, SC] f32, SC 128-mult
     o_ref = rest.pop(0)
     if quantized:
         (m_scr, l_scr, acc_scr, kv_buf, sc_buf, kv_sem, sc_sem) = rest
@@ -155,19 +208,33 @@ def _fused_decode_kernel(
         # buf: [ppcb, 2, Hkv, page, D] -> K/V [Hkv, tokens, D]
         buf = kv_buf[slot]
         if quantized:
-            # dequantize payloads in the DMA'd layout (per-token scales
-            # broadcast on the last dim) BEFORE the head transpose —
-            # avoids an unsupported cross-tile relayout of the small
-            # scale vectors
-            sc = sc_buf[slot]  # [ppcb, 2, hkv, page] f32
-            deq = buf.astype(jnp.float32) * sc[..., None]
-            kd = deq[:, 0].astype(q_ref.dtype)
-            vd = deq[:, 1].astype(q_ref.dtype)
+            # Per-token factors from the packed [ppcb, SCALE_ROWS, 128]
+            # tile.  Mosaic rejects lane-splitting reshapes, so the only
+            # legal route is one lane<->sublane transpose per row plus
+            # sublane-only reshapes/permutes (validated on-chip).
+            rpk = rows_per_kv(hkv, page_size)
+
+            def factors(row0):
+                parts = [
+                    jnp.swapaxes(sc_buf[slot][:, row0 + r, :], 0, 1)
+                    for r in range(rpk)
+                ]  # each [128, ppcb]
+                t = (jnp.concatenate(parts, axis=0) if rpk > 1
+                     else parts[0])[: hkv * page_size]
+                t = t.reshape(hkv, page_size, ppcb)
+                return jnp.swapaxes(t, 1, 2)[..., None]  # [hkv,ppcb,page,1]
+
+            k4 = jnp.swapaxes(buf[:, 0], 0, 1).astype(jnp.float32) \
+                * factors(0)
+            v4 = jnp.swapaxes(buf[:, 1], 0, 1).astype(jnp.float32) \
+                * factors(rpk)
+            k = k4.reshape(hkv, tokens_per_block, -1).astype(q_ref.dtype)
+            v = v4.reshape(hkv, tokens_per_block, -1).astype(q_ref.dtype)
         else:
-            kd = buf[:, 0]
-            vd = buf[:, 1]
-        k = jnp.swapaxes(kd, 0, 1).reshape(hkv, tokens_per_block, -1)
-        v = jnp.swapaxes(vd, 0, 1).reshape(hkv, tokens_per_block, -1)
+            k = jnp.swapaxes(buf[:, 0], 0, 1).reshape(
+                hkv, tokens_per_block, -1)
+            v = jnp.swapaxes(buf[:, 1], 0, 1).reshape(
+                hkv, tokens_per_block, -1)
         q = q_ref[0].reshape(hkv, gp, -1)  # [Hkv, Gp, D]
 
         # batched over kv heads: [Hkv, Gp, tokens]
@@ -216,7 +283,7 @@ def paged_attention_fused(
     block_tables: jnp.ndarray,     # [B, max_pages]
     context_lens: jnp.ndarray,     # [B]
     *,
-    kv_scales: Optional[jnp.ndarray] = None,   # [P, 2, Hkv, page] f32
+    kv_scales: Optional[jnp.ndarray] = None,   # packed [P, SR, 128] f32
     scale: Optional[float] = None,
     window_size: int = -1,
     pages_per_compute_block: Optional[int] = None,
@@ -232,13 +299,25 @@ def paged_attention_fused(
     window = int(window_size) if window_size and window_size > 0 else -1
     quantized = kv_scales is not None
 
-    ppcb = pages_per_compute_block or get_tile_config().pages_per_compute_block
+    ppcb = (pages_per_compute_block
+            or get_tile_config().pages_per_compute_block_fused)
     ppcb = min(ppcb, max_pages)
     if max_pages % ppcb != 0:
         pad = ppcb - max_pages % ppcb
         block_tables = jnp.pad(block_tables, ((0, 0), (0, pad)))
         max_pages += pad
     n_blocks = max_pages // ppcb
+
+    sr = scale_rows(hkv, page_size)
+    if quantized and kv_scales.shape != (num_pages, sr, NUM_LANES):
+        raise ValueError(
+            f"kv_scales must be packed {(num_pages, sr, NUM_LANES)} "
+            f"(see pack_fused_scales), got {kv_scales.shape}")
+
+    # Mosaic has no mixed-dtype matmul: align q to the pool dtype on the
+    # unquantized path (q is tiny; the pools are not).
+    if not quantized and q.dtype != kv_pages.dtype:
+        q = q.astype(kv_pages.dtype)
 
     # group rows per kv head, padded so each head's row block is sublane
     # aligned: q -> [B, Hkv * Gp, D]
@@ -268,8 +347,7 @@ def paged_attention_fused(
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(kv_scales)
-        scratch.append(
-            pltpu.VMEM((2, ppcb, 2, hkv, page_size), jnp.float32))
+        scratch.append(pltpu.VMEM((2, ppcb, sr, NUM_LANES), jnp.float32))
         sems.append(pltpu.SemaphoreType.DMA((2,)))
 
     # per-(seq, block) physical-contiguity flags for DMA coalescing
@@ -315,16 +393,27 @@ def _pad_group(group: int) -> int:
     return ((group + MIN_GROUP_PAD - 1) // MIN_GROUP_PAD) * MIN_GROUP_PAD
 
 
+def _scale_scatter_coords(hkv, page_size, slot):
+    """(rows, lanes) [**slot.shape**, 2, Hkv] into a packed scale tile."""
+    rpk = rows_per_kv(hkv, page_size)
+    lead = (1,) * slot.ndim
+    kvi = jnp.arange(2).reshape(lead + (2, 1))
+    hi = jnp.arange(hkv).reshape(lead + (1, hkv))
+    lane_idx = hi * page_size + slot[..., None, None]
+    return kvi * rpk + lane_idx // NUM_LANES, lane_idx % NUM_LANES
+
+
 def kv_cache_append_decode_fused(
     kv_pages: jnp.ndarray,      # [P, 2, Hkv, page, D]
     k_new: jnp.ndarray,         # [B, Hkv, D]
     v_new: jnp.ndarray,
     block_tables: jnp.ndarray,
     context_lens: jnp.ndarray,
-    kv_scales: Optional[jnp.ndarray] = None,  # [P, 2, Hkv, page]
+    kv_scales: Optional[jnp.ndarray] = None,  # packed [P, SR, 128]
 ):
     """Append one token per sequence to a fused pool; quantizes on the way
     in when a scales pool is passed."""
+    hkv = k_new.shape[1]
     page_size = kv_pages.shape[3]
     batch = k_new.shape[0]
     slot = context_lens % page_size
@@ -334,9 +423,10 @@ def kv_cache_append_decode_fused(
     if kv_scales is not None:
         from .quant import quantize_kv
 
-        payload, sc = quantize_kv(new, kv_pages.dtype)
+        payload, sc = quantize_kv(new, kv_pages.dtype)  # sc [B, 2, Hkv]
         kv_pages = kv_pages.at[phys, :, :, slot].set(payload)
-        kv_scales = kv_scales.at[phys, :, :, slot].set(sc)
+        rows, lanes = _scale_scatter_coords(hkv, page_size, slot)
+        kv_scales = kv_scales.at[phys[:, None, None], rows, lanes].set(sc)
         return kv_pages, kv_scales, context_lens + 1
     kv_pages = kv_pages.at[phys, :, :, slot].set(new.astype(kv_pages.dtype))
     return kv_pages, context_lens + 1
@@ -373,9 +463,13 @@ def kv_cache_append_prefill_fused(
     if kv_scales is not None:
         from .quant import quantize_kv
 
-        payload, sc = quantize_kv(new, kv_pages.dtype)
+        payload, sc = quantize_kv(new, kv_pages.dtype)  # sc [B*S, 2, Hkv]
         kv_pages = scatter(kv_pages, payload)
-        kv_scales = scatter(kv_scales, sc)
+        rows, lanes = _scale_scatter_coords(hkv, page_size, slot_f)
+        idx = (phys_f[:, None, None], rows, lanes)
+        old = kv_scales[idx]
+        vals = jnp.where(valid_f[:, None, None], sc, old)
+        kv_scales = kv_scales.at[idx].set(vals)
         return kv_pages, kv_scales, context_lens + seq_lens
     kv_pages = scatter(kv_pages, new.astype(kv_pages.dtype))
     return kv_pages, context_lens + seq_lens

@@ -89,8 +89,12 @@ class ServingEngine:
                      page_size, cfg.head_dim)
             self.k_pages = jnp.zeros(shape, pool_dtype)  # fused kv pool
             self.v_pages = None
-            self.k_scales = (jnp.zeros(shape[:-1], jnp.float32)
-                             if quantized else None)
+            from ..ops.paged_fused import fused_scales_shape
+
+            self.k_scales = (jnp.zeros(
+                (cfg.n_layers,) + fused_scales_shape(
+                    num_pages, cfg.n_kv_heads, page_size), jnp.float32)
+                if quantized else None)
             self.v_scales = None
         else:
             shape = (cfg.n_layers, cfg.n_kv_heads, num_pages, page_size,

@@ -6,23 +6,33 @@ throughput at batch=8, 4K context (reference MI300X baseline: 10,915 tok/s,
 python/README.md:31).  Secondary metrics (prefill TFLOP/s, int8-KV decode,
 window speedup) go to stderr.
 
-FLOP convention matches the reference: 4*B*H*S^2*D (benchmark_mi300x.py:65-73),
-halved for causal.
+Timing: host-side timing through the remote-device transport is unreliable
+(block_until_ready can ack before the device finishes; per-dispatch jitter
+is ~ms), so every measurement runs the op inside ONE jitted lax.fori_loop
+with a dynamic trip count and a scalar readback (scripts/devtime.py) and
+reports (t(N) - t(1)) / (N - 1).
+
+FLOP convention matches the reference: 4*B*H*S^2*D (benchmark_mi300x.py:
+65-73), halved for causal.
 """
 
 import json
+import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
 
-from aule_tpu.ops.flash import flash_attention_fwd
-from aule_tpu.ops.paged import paged_attention
-from aule_tpu.ops.quant import quantize_kv
+from devtime import devtime  # noqa: E402
+
+from aule_tpu.ops.flash import flash_attention_fwd  # noqa: E402
+from aule_tpu.ops.paged import paged_attention  # noqa: E402
+from aule_tpu.ops.quant import quantize_kv  # noqa: E402
 
 BASELINE_DECODE_TOKS = 10915.0  # MI300X, batch=8, 4K ctx (README.md:31)
 
@@ -31,32 +41,9 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def time_fn(fn, *args, warmup=3, iters=20):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    jax.block_until_ready(outs)
-    # paranoid completion barrier: scalar readback defeats any transport
-    # that acks block_until_ready early
-    float(jnp.sum(outs[-1][0] if isinstance(outs[-1], (tuple, list))
-                  else outs[-1]).astype(jnp.float32))
-    return (time.perf_counter() - t0) / iters
-
-
-def _warm_transport():
-    """The first timed execution in a process is dominated by transport
-    warm-up (observed ~2000 ms vs 10 ms steady state); burn it on a dummy.
-    """
-    x = jnp.ones((1024, 1024), jnp.bfloat16)
-    f = jax.jit(lambda x: x @ x)
-    time_fn(f, x, warmup=2, iters=3)
-
-
 def bench_decode(batch=8, hq=32, hkv=8, d=128, ctx=4096, page=16,
                  dtype=jnp.bfloat16, quantized=False, fused=True,
-                 ppcb=None):
+                 ppcb=None, n_iters=100):
     rng = np.random.default_rng(0)
     n_pages_seq = ctx // page
     num_pages = batch * n_pages_seq + 1
@@ -101,19 +88,19 @@ def bench_decode(batch=8, hq=32, hkv=8, d=128, ctx=4096, page=16,
         fn = jax.jit(lambda q: paged_attention(
             q, kc, vc, bt, lens, pages_per_compute_block=ppcb,
             interpret=False))
-    dt = time_fn(fn, q)
+    dt = devtime(fn, q, n_iters=n_iters)
     return batch / dt, dt
 
 
 def bench_prefill(batch=4, hq=32, hkv=8, s=4096, d=128,
-                  dtype=jnp.bfloat16, window=-1):
+                  dtype=jnp.bfloat16, window=-1, n_iters=20):
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((batch, hq, s, d)), dtype)
     k = jnp.asarray(rng.standard_normal((batch, hkv, s, d)), dtype)
     v = jnp.asarray(rng.standard_normal((batch, hkv, s, d)), dtype)
     fn = jax.jit(lambda q, k, v: flash_attention_fwd(
         q, k, v, causal=True, window_size=window, interpret=False)[0])
-    dt = time_fn(fn, q, k, v)
+    dt = devtime(fn, q, k, v, n_iters=n_iters)
     flops = 4 * batch * hq * s * s * d * 0.5  # causal
     if window > 0:
         flops *= min(1.0, 2.0 * window / s)
@@ -131,25 +118,23 @@ def main():
                           "vs_baseline": 0.0}))
         return
 
-    _warm_transport()
-
     toks, dt = bench_decode(dtype=jnp.bfloat16, fused=True)
     log(f"paged decode bf16 fused B8 ctx4096: {toks:,.0f} tok/s "
-        f"({dt*1e3:.2f} ms)")
+        f"({dt*1e3:.3f} ms)")
 
     try:
         toks_i8, dt_i8 = bench_decode(quantized=True, fused=True)
         log(f"paged decode int8 fused B8 ctx4096: {toks_i8:,.0f} tok/s "
-            f"({dt_i8*1e3:.2f} ms)")
+            f"({dt_i8*1e3:.3f} ms)")
     except Exception as e:  # pragma: no cover
-        log(f"int8 decode failed: {e!r}")
+        log(f"int8 decode failed: {e!r:.300}")
 
     try:
         toks_hm, dt_hm = bench_decode(dtype=jnp.bfloat16, fused=False)
         log(f"paged decode bf16 vLLM-layout B8 ctx4096: {toks_hm:,.0f} "
-            f"tok/s ({dt_hm*1e3:.2f} ms)")
+            f"tok/s ({dt_hm*1e3:.3f} ms)")
     except Exception as e:  # pragma: no cover
-        log(f"head-major decode failed: {e!r}")
+        log(f"head-major decode failed: {e!r:.300}")
 
     try:
         tf, dtp = bench_prefill()
@@ -158,7 +143,7 @@ def main():
         tf_w, _ = bench_prefill(window=256)
         log(f"prefill window=256: {tf_w:.1f} TFLOP/s (effective)")
     except Exception as e:  # pragma: no cover
-        log(f"prefill bench failed: {e!r}")
+        log(f"prefill bench failed: {e!r:.300}")
 
     print(json.dumps({
         "metric": "paged_decode_tokens_per_s_b8_ctx4096",
