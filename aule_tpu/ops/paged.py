@@ -226,6 +226,28 @@ def paged_attention(
     window = int(window_size) if window_size and window_size > 0 else -1
     quantized = k_scales is not None
 
+    if interpret is None:
+        interpret = get_config().interpret or (
+            jax.devices()[0].platform != "tpu"
+        )
+
+    if quantized and not interpret:
+        # Mosaic cannot DMA the head-major per-page scale slabs (minor
+        # dim = page size, below tiling), and per-(head,page) scale
+        # transfers would be 8 tiny DMAs per page anyway.  On real TPUs
+        # the quantized compat path converts to the fused layout and
+        # uses its packed-scale kernel; callers who care about the
+        # conversion cost should hold the cache fused to begin with
+        # (serving/engine.py does).
+        from .paged_fused import paged_attention_fused, to_fused_layout
+
+        kv, sc = to_fused_layout(k_pages, v_pages, k_scales, v_scales)
+        return paged_attention_fused(
+            q, kv, block_tables, context_lens, kv_scales=sc, scale=scale,
+            window_size=window_size,
+            pages_per_compute_block=pages_per_compute_block,
+            return_lse=return_lse, interpret=interpret)
+
     ppcb = pages_per_compute_block or get_tile_config().pages_per_compute_block
     ppcb = min(ppcb, max_pages)
     # pad block table columns to a multiple of ppcb
@@ -235,16 +257,16 @@ def paged_attention(
         max_pages += pad
     n_blocks = max_pages // ppcb
 
+    # Mosaic has no mixed-dtype matmul: align q to the pool dtype (q is
+    # tiny; the pools are not).
+    if not quantized and q.dtype != k_pages.dtype:
+        q = q.astype(k_pages.dtype)
+
     # group q heads per kv head; pad group dim to the sublane width
     gp = max(MIN_GROUP_PAD, group)
     qg = q.reshape(batch, hkv, group, d)
     if gp != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
-
-    if interpret is None:
-        interpret = get_config().interpret or (
-            jax.devices()[0].platform != "tpu"
-        )
 
     in_specs = [
         pl.BlockSpec((1, 1, gp, d), lambda b, h, i, *_: (b, h, 0, 0)),

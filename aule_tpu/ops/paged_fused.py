@@ -121,10 +121,12 @@ def _fused_decode_kernel(
     scale: float,
     window: int,
     quantized: bool,
+    return_lse: bool,
 ):
     rest = list(rest)
-    sc_hbm = rest.pop(0) if quantized else None  # [P, SC] f32, SC 128-mult
+    sc_hbm = rest.pop(0) if quantized else None  # [P, SR, 128] f32
     o_ref = rest.pop(0)
+    lse_ref = rest.pop(0) if return_lse else None
     if quantized:
         (m_scr, l_scr, acc_scr, kv_buf, sc_buf, kv_sem, sc_sem) = rest
     else:
@@ -275,6 +277,13 @@ def _fused_decode_kernel(
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        if return_lse:
+            lv = l_scr[...]
+            lse = jnp.where(
+                lv > 0.0,
+                m_scr[...] + jnp.log(jnp.where(lv > 0.0, lv, 1.0)),
+                DEFAULT_MASK_VALUE)
+            lse_ref[0] = lse.astype(lse_ref.dtype)
 
 
 def paged_attention_fused(
@@ -287,9 +296,13 @@ def paged_attention_fused(
     scale: Optional[float] = None,
     window_size: int = -1,
     pages_per_compute_block: Optional[int] = None,
+    return_lse: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Fused-layout paged decode (see module docstring)."""
+    """Fused-layout paged decode (see module docstring).
+
+    With return_lse=True also returns natural-log LSE [B, Hq] (used by
+    the cross-shard softmax combine, parallel/collectives.py)."""
     batch, hq, d = q.shape
     num_pages, _, hkv, page_size, _ = kv_pages.shape
     group = hq // hkv
@@ -359,11 +372,19 @@ def paged_attention_fused(
     cont = jnp.logical_and(cont, bt_blocks[..., 0] + ppcb <= num_pages)
     cont = cont.astype(jnp.int32)
 
+    out_specs = [pl.BlockSpec((1, hkv * gp, d), lambda b, i, *_: (b, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((batch, hkv * gp, d), q.dtype)]
+    if return_lse:
+        out_specs.append(pl.BlockSpec((1, hkv * gp, NUM_LANES),
+                                      lambda b, i, *_: (b, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (batch, hkv * gp, NUM_LANES), jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(batch, n_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hkv * gp, d), lambda b, i, *_: (b, 0, 0)),
+        out_specs=out_specs,
         scratch_shapes=scratch + sems,
     )
 
@@ -371,13 +392,13 @@ def paged_attention_fused(
         _fused_decode_kernel,
         page_size=page_size, ppcb=ppcb, n_blocks=n_blocks,
         hkv=hkv, gp=gp, scale=float(scale), window=window,
-        quantized=quantized,
+        quantized=quantized, return_lse=return_lse,
     )
 
-    out = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, hkv * gp, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -385,8 +406,13 @@ def paged_attention_fused(
     )(context_lens.astype(jnp.int32), block_tables.astype(jnp.int32),
       cont, *args)
 
-    out = out.reshape(batch, hkv, gp, d)[:, :, :group]
-    return out.reshape(batch, hq, d)
+    out = results[0].reshape(batch, hkv, gp, d)[:, :, :group]
+    out = out.reshape(batch, hq, d)
+    if return_lse:
+        lse = results[1].reshape(batch, hkv, gp, NUM_LANES)
+        lse = lse[:, :, :group, 0].reshape(batch, hq)
+        return out, lse
+    return out
 
 
 def _pad_group(group: int) -> int:
