@@ -89,12 +89,18 @@ def _fwd_kernel(
     seq_k: int,
     n_kv: int,
     use_rope: bool,
+    return_lse: bool,
 ):
+    refs = list(refs)
     if use_rope:
         (q_ref, k_ref, v_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref,
-         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+         o_ref) = refs[:8]
+        rest = refs[8:]
     else:
-        (q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+        (q_ref, k_ref, v_ref, o_ref) = refs[:4]
+        rest = refs[4:]
+    lse_ref = rest.pop(0) if return_lse else None
+    (m_scr, l_scr, acc_scr) = rest
 
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -214,16 +220,18 @@ def _fwd_kernel(
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        # LSE lane-replicated to 128 (Mosaic block layout requires the
-        # trailing dim be 128); the wrapper slices lane 0.
-        m = m_scr[...]
-        lv = l_scr[...]
-        # stats are in log2-units; publish LSE in natural-log units
-        lse = jnp.where(
-            lv > 0.0,
-            (m + jnp.log2(jnp.where(lv > 0.0, lv, 1.0))) * 0.6931471805599453,
-            DEFAULT_MASK_VALUE)
-        lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+        if return_lse:
+            # LSE lane-replicated to 128 (Mosaic block layout requires
+            # the trailing dim be 128); the wrapper slices lane 0.
+            m = m_scr[...]
+            lv = l_scr[...]
+            # stats are in log2-units; publish in natural-log units
+            lse = jnp.where(
+                lv > 0.0,
+                (m + jnp.log2(jnp.where(lv > 0.0, lv, 1.0)))
+                * 0.6931471805599453,
+                DEFAULT_MASK_VALUE)
+            lse_ref[0, 0] = lse.astype(lse_ref.dtype)
 
 
 def flash_attention_fwd(
@@ -238,9 +246,12 @@ def flash_attention_fwd(
     rope_sin: Optional[jnp.ndarray] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
+    return_lse: bool = True,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Forward flash attention; returns (out [B,Hq,Sq,D], lse [B,Hq,Sq]).
+    """Forward flash attention; returns (out [B,Hq,Sq,D], lse [B,Hq,Sq]),
+    or just `out` with return_lse=False (inference: skips the lane-
+    replicated [B,Hq,Sq,128] f32 LSE write, a full extra HBM pass).
 
     Accepts unpadded shapes; pads Sq/Sk up to tile multiples internally and
     masks the padding (the reference's bounds masks, triton_flash.py:197-199).
@@ -315,12 +326,15 @@ def flash_attention_fwd(
 
     out_specs = [
         pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((batch, hq, sq_pad, d), q.dtype),
-        jax.ShapeDtypeStruct((batch, hq, sq_pad, NUM_LANES), jnp.float32),
     ]
+    if return_lse:
+        out_specs.append(pl.BlockSpec(
+            (1, 1, bq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (batch, hq, sq_pad, NUM_LANES), jnp.float32))
     scratch_shapes = [
         pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # m
         pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # l
@@ -331,7 +345,7 @@ def flash_attention_fwd(
         _fwd_kernel,
         scale=float(scale), causal=causal, window=window,
         block_q=bq, block_kv=bkv, seq_q=seq_q, seq_k=seq_k,
-        n_kv=n_kv, use_rope=use_rope,
+        n_kv=n_kv, use_rope=use_rope, return_lse=return_lse,
     )
 
     if interpret is None:
@@ -340,7 +354,7 @@ def flash_attention_fwd(
         )
 
     flops = 4 * batch * hq * seq_q * seq_k * d
-    out, lse = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -359,9 +373,13 @@ def flash_attention_fwd(
         interpret=interpret,
     )(*args)
 
-    lse = lse[..., 0]  # compact [B, Hq, Sq]
+    out = results[0]
     if sq_pad != seq_q:
         out = out[:, :, :seq_q]
+    if not return_lse:
+        return out
+    lse = results[1][..., 0]  # compact [B, Hq, Sq]
+    if sq_pad != seq_q:
         lse = lse[:, :, :seq_q]
     return out, lse
 
@@ -377,11 +395,10 @@ def flash_attention_rope(
     `flash_attention_rope` contract (triton_flash.py:561-603); training
     callers use flash_attention_pallas, which composes the rotation
     differentiably outside the kernel."""
-    out, _ = flash_attention_fwd(
+    return flash_attention_fwd(
         q, k, v, causal=causal, scale=scale, window_size=window_size,
-        rope_cos=rope_cos, rope_sin=rope_sin,
+        rope_cos=rope_cos, rope_sin=rope_sin, return_lse=False,
     )
-    return out
 
 
 def flash_attention_pallas(

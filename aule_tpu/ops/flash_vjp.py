@@ -327,10 +327,11 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_core(q, k, v, causal: bool, scale: float, window: int):
-    out, _ = flash_attention_fwd(
+    # primal (inference) path: skip the LSE write — one full HBM pass
+    return flash_attention_fwd(
         q, k, v, causal=causal, scale=scale, window_size=window,
+        return_lse=False,
     )
-    return out
 
 
 def _flash_core_fwd(q, k, v, causal, scale, window):

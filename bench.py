@@ -99,7 +99,8 @@ def bench_prefill(batch=4, hq=32, hkv=8, s=4096, d=128,
     k = jnp.asarray(rng.standard_normal((batch, hkv, s, d)), dtype)
     v = jnp.asarray(rng.standard_normal((batch, hkv, s, d)), dtype)
     fn = jax.jit(lambda q, k, v: flash_attention_fwd(
-        q, k, v, causal=True, window_size=window, interpret=False)[0])
+        q, k, v, causal=True, window_size=window, return_lse=False,
+        interpret=False))
     dt = devtime(fn, q, k, v, n_iters=n_iters)
     flops = 4 * batch * hq * s * s * d * 0.5  # causal
     if window > 0:
