@@ -71,20 +71,50 @@ def decode_speed_of_light_toks(batch: int, heads_kv: int, ctx: int,
     return batch * (bw_tbs * 1e12) / kv_bytes
 
 
-def benchmark(fn, *args, warmup: int = 3, iters: int = 20) -> float:
-    """Median-free simple wall-clock mean over `iters` (matches reference
-    benchmark methodology: warmup 3 / iters N, benchmark_mi300x.py)."""
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    jax.block_until_ready(outs)
-    # paranoid completion barrier: scalar readback defeats any transport
-    # that acks block_until_ready early
-    float(jnp.sum(outs[-1][0] if isinstance(outs[-1], (tuple, list))
-                  else outs[-1]).astype(jnp.float32))
-    return (time.perf_counter() - t0) / iters
+def benchmark(fn, *args, warmup: int = 3, iters: int = 20,
+              reps: int = 3) -> float:
+    """On-device per-iteration timing.
+
+    Host-side timing around individual dispatches is unreliable on
+    remote-attached devices (block_until_ready can ack before the device
+    finishes; per-dispatch latency jitter is ~ms), so the op runs inside
+    ONE jitted lax.fori_loop with a dynamic trip count and a scalar
+    readback; reported time is median over reps of
+    (t(iters) - t(1)) / (iters - 1).  The loop perturbs the first
+    argument with `carry * 0` — a float multiply XLA cannot fold
+    (NaN/Inf semantics) — which defeats loop-invariant code motion and
+    serializes iterations via the carry chain.  (`warmup` is accepted
+    for signature compatibility; the loop self-warms.)
+    """
+    del warmup
+    args = list(args)
+    first, rest = args[0], args[1:]
+
+    def loop(n, first, *rest):
+        def body(i, carry):
+            eps = (carry * 0.0).astype(first.dtype)
+            x = first + eps.reshape((1,) * first.ndim)
+            o = fn(x, *rest)
+            leaf = jax.tree_util.tree_leaves(o)[0]
+            return carry + leaf.reshape(-1)[0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    jloop = jax.jit(loop)
+    n1 = jnp.int32(1)
+    nN = jnp.int32(iters)
+    float(jloop(n1, first, *rest))
+    float(jloop(nN, first, *rest))
+    results = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(jloop(n1, first, *rest))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(jloop(nN, first, *rest))
+        tN = time.perf_counter() - t0
+        results.append((tN - t1) / (iters - 1))
+    results.sort()
+    return results[len(results) // 2]
 
 
 @contextlib.contextmanager

@@ -47,7 +47,8 @@ def bench_prefill(b, hq, hkv, s, d, dtype, causal=True, window=-1,
             argnums=(0, 1, 2)))
     else:
         f = jax.jit(lambda q, k, v: flash_attention_fwd(
-            q, k, v, causal=causal, window_size=window, interpret=False)[0])
+            q, k, v, causal=causal, window_size=window, return_lse=False,
+            interpret=False))
     dt = benchmark(f, q, k, v, iters=iters)
     flops = attention_flops(b, hq, s, s, d, causal, window, backward)
     return dt, flops / dt / 1e12
@@ -64,17 +65,26 @@ def bench_decode(b, hq, hkv, ctx, d, page=16, dtype=jnp.bfloat16,
                      jnp.float32)
     bt = jnp.asarray(1 + np.arange(b * npg, dtype=np.int32).reshape(b, npg))
     lens = jnp.full((b,), ctx, jnp.int32)
+    from aule_tpu.ops.paged_fused import (
+        paged_attention_fused,
+        scale_rows,
+        to_fused_layout,
+    )
+
     if quantized:
         kq, ks = quantize_kv(kf, jnp.int8)
         vq, vs = quantize_kv(vf, jnp.int8)
-        f = jax.jit(lambda q: paged_attention(
-            q, kq, vq, bt, lens, k_scales=ks, v_scales=vs,
+        kv, sc = to_fused_layout(kq, vq, ks, vs)
+        f = jax.jit(lambda q: paged_attention_fused(
+            q, kv, bt, lens, kv_scales=sc,
             window_size=window, interpret=False))
-        bpe = 1.0 + 4.0 / page  # payload + per-token scale
+        # payload + the packed per-page scale tile
+        tile = scale_rows(hkv, page) * 128 * 4
+        bpe = 1.0 + tile / (2.0 * hkv * page * d)
     else:
-        kc, vc = kf.astype(dtype), vf.astype(dtype)
-        f = jax.jit(lambda q: paged_attention(
-            q, kc, vc, bt, lens, window_size=window, interpret=False))
+        kv = to_fused_layout(kf.astype(dtype), vf.astype(dtype))
+        f = jax.jit(lambda q: paged_attention_fused(
+            q, kv, bt, lens, window_size=window, interpret=False))
         bpe = jnp.dtype(dtype).itemsize
     dt = benchmark(f, q, iters=iters)
     sol = decode_speed_of_light_toks(b, hkv, ctx, d, bpe)
