@@ -252,3 +252,69 @@ def make_sharded_paged_attention(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def make_sharded_paged_attention_fused(
+    mesh: Mesh,
+    *,
+    scale: Optional[float] = None,
+    data_axis: Optional[str] = "data",
+    ctx_axis: Optional[str] = None,
+    quantized: bool = False,
+    pages_per_compute_block: Optional[int] = None,
+):
+    """Sharded paged decode over FUSED-layout pools (the serving fast path:
+    one DMA per page spanning K+V and all kv heads, ops/paged_fused.py).
+
+    Because a fused page interleaves every kv head, the head axis cannot
+    shard — the mesh axes are batch (`data`, continuous batching across
+    hosts) and pages/context (`ctx`, long sequences striped over chips with
+    per-shard block tables + lengths), merged via the cross-shard softmax
+    combine.  Head-sharded deployments use the split-layout
+    make_sharded_paged_attention instead.
+
+    Shardings:
+      q            [B, Hq, D]              P(data, None, None)
+      kv_pages     [P, 2, Hkv, page, D]    P(ctx, None, None, None, None)
+      block_tables [B, n_ctx, max_pages]   P(data, ctx, None)
+      context_lens [B, n_ctx]              P(data, ctx)
+      kv_scales    [P, SR, 128] (packed)   P(ctx, None, None)   (quantized)
+    """
+    from ..ops.paged_fused import paged_attention_fused
+
+    axes = [a for a in (data_axis, ctx_axis) if a]
+    for a in axes:
+        if a not in mesh.axis_names:
+            raise ValueError(f"mesh has no axis {a!r}")
+
+    def local_fn(q, kv_pages, block_tables, context_lens, *maybe_scales):
+        sc = maybe_scales[0] if quantized else None
+        bt = block_tables.reshape(
+            block_tables.shape[0], block_tables.shape[2])
+        lens = context_lens.reshape(-1)
+        if ctx_axis is None:
+            return paged_attention_fused(
+                q, kv_pages, bt, lens, kv_scales=sc, scale=scale,
+                pages_per_compute_block=pages_per_compute_block)
+        o, lse = paged_attention_fused(
+            q, kv_pages, bt, lens, kv_scales=sc, scale=scale,
+            pages_per_compute_block=pages_per_compute_block,
+            return_lse=True)
+        o, _ = softmax_combine_allreduce(o, lse, ctx_axis)
+        return o
+
+    in_specs = [P(data_axis, None, None),
+                P(ctx_axis, None, None, None, None),
+                P(data_axis, ctx_axis, None),
+                P(data_axis, ctx_axis)]
+    if quantized:
+        in_specs.append(P(ctx_axis, None, None))
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=P(data_axis, None, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)

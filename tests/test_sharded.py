@@ -152,3 +152,90 @@ def test_sharded_paged_decode_ctx_axis():
             q[b:b + 1, :, None, :], k_full[b][None], v_full[b][None],
         )[0, :, 0]
         assert_close(got[b], want, *TOL, f"ctx-sharded seq {b}")
+
+
+def test_sharded_paged_decode_fused_ctx_axis():
+    """Fused-layout pools sharded over ctx + batch over data, with and
+    without quantization; cross-shard softmax combine vs oracle."""
+    from aule_tpu.ops.paged_fused import to_fused_layout
+    from aule_tpu.ops.quant import dequantize_kv, quantize_kv
+    from aule_tpu.parallel.sharded import make_sharded_paged_attention_fused
+
+    n_ctx = 4
+    mesh = make_mesh((2, n_ctx), ("data", "ctx"))
+    batch, hq, hkv, d, page = 2, 4, 2, 64, 16
+    rng = np.random.default_rng(11)
+
+    ctx_global = np.array([130, 57], np.int32)
+    max_pages_shard = 4
+    pool_pages_shard = 16
+    k_pool = rng.standard_normal(
+        (hkv, n_ctx * pool_pages_shard, page, d)).astype(np.float32)
+    v_pool = rng.standard_normal(
+        (hkv, n_ctx * pool_pages_shard, page, d)).astype(np.float32)
+
+    bt = np.full((batch, n_ctx, max_pages_shard), -1, np.int32)
+    lens = np.zeros((batch, n_ctx), np.int32)
+    k_full, v_full = [], []
+    next_page = [0] * n_ctx
+    for b in range(batch):
+        tokens = int(ctx_global[b])
+        n_pages = -(-tokens // page)
+        kparts, vparts = [], []
+        for lp in range(n_pages):
+            shard = lp % n_ctx
+            local_phys = next_page[shard]
+            next_page[shard] += 1
+            row = lens[b, shard] // page
+            bt[b, shard, row] = local_phys
+            n_tok = min(page, tokens - lp * page)
+            lens[b, shard] += n_tok
+            gphys = shard * pool_pages_shard + local_phys
+            kparts.append(k_pool[:, gphys, :n_tok])
+            vparts.append(v_pool[:, gphys, :n_tok])
+        k_full.append(np.concatenate(kparts, axis=1))
+        v_full.append(np.concatenate(vparts, axis=1))
+
+    q = rng.standard_normal((batch, hq, d)).astype(np.float32)
+
+    kv = to_fused_layout(jnp.asarray(k_pool), jnp.asarray(v_pool))
+    fn = make_sharded_paged_attention_fused(
+        mesh, data_axis="data", ctx_axis="ctx", pages_per_compute_block=2)
+    got = np.asarray(fn(jnp.asarray(q), kv, jnp.asarray(bt),
+                        jnp.asarray(lens)))
+    for b in range(batch):
+        want = attention_reference_numpy(
+            q[b:b + 1, :, None, :], k_full[b][None], v_full[b][None],
+        )[0, :, 0]
+        assert_close(got[b], want, *TOL, f"fused ctx-sharded seq {b}")
+
+    # quantized variant (packed scales sharded with their pages)
+    kq, ks = quantize_kv(jnp.asarray(k_pool), jnp.int8)
+    vq, vs = quantize_kv(jnp.asarray(v_pool), jnp.int8)
+    kvq, sc = to_fused_layout(kq, vq, ks, vs)
+    fnq = make_sharded_paged_attention_fused(
+        mesh, data_axis="data", ctx_axis="ctx", quantized=True,
+        pages_per_compute_block=2)
+    gotq = np.asarray(fnq(jnp.asarray(q), kvq, jnp.asarray(bt),
+                          jnp.asarray(lens), sc))
+    kd = np.asarray(dequantize_kv(kq, ks))
+    vd = np.asarray(dequantize_kv(vq, vs))
+    for b in range(batch):
+        tokens = int(ctx_global[b])
+        n_pages = -(-tokens // page)
+        kparts, vparts = [], []
+        cursor = {s: 0 for s in range(n_ctx)}
+        for lp in range(n_pages):
+            shard = lp % n_ctx
+            local_phys = bt[b, shard, cursor[shard]]
+            cursor[shard] += 1
+            gphys = shard * pool_pages_shard + local_phys
+            n_tok = min(page, tokens - lp * page)
+            kparts.append(kd[:, gphys, :n_tok])
+            vparts.append(vd[:, gphys, :n_tok])
+        want = attention_reference_numpy(
+            q[b:b + 1, :, None, :],
+            np.concatenate(kparts, axis=1)[None],
+            np.concatenate(vparts, axis=1)[None])[0, :, 0]
+        assert_close(gotq[b], want, 5e-2, 5e-3,
+                     f"fused ctx-sharded int8 seq {b}")
