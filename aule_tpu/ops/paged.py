@@ -38,6 +38,10 @@ from .flash import DEFAULT_MASK_VALUE, NUM_LANES, _cdiv
 MIN_GROUP_PAD = 8  # sublane width for f32
 
 
+def _round_up_lanes(n: int) -> int:
+    return -(-n // NUM_LANES) * NUM_LANES
+
+
 def _paged_decode_kernel(
     # scalar prefetch
     ctx_ref,      # [B] int32
@@ -262,6 +266,17 @@ def paged_attention(
     if not quantized and q.dtype != k_pages.dtype:
         q = q.astype(k_pages.dtype)
 
+    d_true = d
+    if not interpret and d % NUM_LANES != 0:
+        # Mosaic DMA slices must be lane-aligned in the minor dim; the
+        # compat path pads per call (a pool copy — callers who care hold
+        # the cache in the fused layout, which stores padded natively).
+        d = _round_up_lanes(d)
+        pad = [(0, 0)] * 3 + [(0, d - d_true)]
+        k_pages = jnp.pad(k_pages, pad)
+        v_pages = jnp.pad(v_pages, pad)
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, d - d_true)])
+
     # group q heads per kv head; pad group dim to the sublane width
     gp = max(MIN_GROUP_PAD, group)
     qg = q.reshape(batch, hkv, group, d)
@@ -331,7 +346,7 @@ def paged_attention(
     )(context_lens.astype(jnp.int32), block_tables.astype(jnp.int32),
       *args)
 
-    out = results[0][:, :, :group].reshape(batch, hq, d)
+    out = results[0][:, :, :group, :d_true].reshape(batch, hq, d_true)
     if return_lse:
         lse = results[1][:, :, :group, 0].reshape(batch, hq)
         return out, lse

@@ -46,6 +46,25 @@ from .flash import DEFAULT_MASK_VALUE, NUM_LANES
 MIN_GROUP_PAD = 8
 
 
+def pad_head_dim(d: int) -> int:
+    """Pools store head_dim padded to the lane width: Mosaic DMA slices
+    must be 128-aligned in the minor dim, so a D=64 pool could not be
+    sliced per page at all (zeros in the pad lanes are exact no-ops in
+    both matmuls)."""
+    return -(-d // NUM_LANES) * NUM_LANES
+
+
+def fused_pool_shape(num_pages: int, hkv: int, page_size: int,
+                     head_dim: int):
+    return (num_pages, 2, hkv, page_size, pad_head_dim(head_dim))
+
+
+def _pad_last(x, to: int):
+    if x.shape[-1] == to:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, to - x.shape[-1])])
+
+
 def rows_per_kv(hkv: int, page_size: int) -> int:
     """f32-tile rows needed for one kv slot's per-token scales."""
     return -(-(hkv * page_size) // NUM_LANES)
@@ -94,16 +113,24 @@ def unpack_fused_scales(packed, hkv: int, page_size: int):
 
 
 def to_fused_layout(k_pages, v_pages, k_scales=None, v_scales=None):
-    """[Hkv, P, page, D] x2 -> [P, 2, Hkv, page, D] (+ packed scales)."""
+    """[Hkv, P, page, D] x2 -> [P, 2, Hkv, page, Dpad] (+ packed scales).
+
+    D pads to the lane width (see pad_head_dim); the attention wrappers
+    pad q / slice outputs to match, so callers never see the padding.
+    """
     kv = jnp.stack([jnp.swapaxes(k_pages, 0, 1),
                     jnp.swapaxes(v_pages, 0, 1)], axis=1)
+    kv = _pad_last(kv, pad_head_dim(kv.shape[-1]))
     if k_scales is None:
         return kv
     return kv, pack_fused_scales(k_scales, v_scales)
 
 
-def from_fused_layout(kv_pages):
-    """[P, 2, Hkv, page, D] -> (k_pages, v_pages) head-major."""
+def from_fused_layout(kv_pages, head_dim: Optional[int] = None):
+    """[P, 2, Hkv, page, Dpad] -> (k_pages, v_pages) head-major, sliced
+    back to `head_dim` when given."""
+    if head_dim is not None:
+        kv_pages = kv_pages[..., :head_dim]
     return (jnp.swapaxes(kv_pages[:, 0], 0, 1),
             jnp.swapaxes(kv_pages[:, 1], 0, 1))
 
@@ -307,12 +334,17 @@ def paged_attention_fused(
 
     With return_lse=True also returns natural-log LSE [B, Hq] (used by
     the cross-shard softmax combine, parallel/collectives.py)."""
-    batch, hq, d = q.shape
-    num_pages, _, hkv, page_size, _ = kv_pages.shape
+    batch, hq, d_true = q.shape
+    num_pages, _, hkv, page_size, d = kv_pages.shape
     group = hq // hkv
     max_pages = block_tables.shape[1]
     if scale is None:
-        scale = 1.0 / float(np.sqrt(d))
+        scale = 1.0 / float(np.sqrt(d_true))
+    if d != pad_head_dim(d_true):
+        raise ValueError(
+            f"kv_pages head_dim {d} does not match padded q head_dim "
+            f"{pad_head_dim(d_true)} (see to_fused_layout/fused_pool_shape)")
+    q = _pad_last(q, d)
     window = int(window_size) if window_size and window_size > 0 else -1
     quantized = kv_scales is not None
 
@@ -410,8 +442,8 @@ def paged_attention_fused(
     )(context_lens.astype(jnp.int32), block_tables.astype(jnp.int32),
       cont, *args)
 
-    out = results[0].reshape(batch, hkv, gp, d)[:, :, :group]
-    out = out.reshape(batch, hq, d)
+    out = results[0].reshape(batch, hkv, gp, d)[:, :, :group, :d_true]
+    out = out.reshape(batch, hq, d_true)
     if return_lse:
         lse = results[1].reshape(batch, hkv, gp, NUM_LANES)
         lse = lse[:, :, :group, 0].reshape(batch, hq)
@@ -450,6 +482,7 @@ def kv_cache_append_decode_fused(
     phys = jnp.maximum(
         block_tables[jnp.arange(batch), context_lens // page_size], 0)
     new = jnp.stack([k_new, v_new], axis=1)  # [B, 2, Hkv, D]
+    new = _pad_last(new, kv_pages.shape[-1])
     if kv_scales is not None:
         from .quant import quantize_kv
 
@@ -480,9 +513,10 @@ def kv_cache_append_prefill_fused(
     phys_f, slot_f, valid_f = _prefill_scatter_coords(
         batch, seq, page_size, block_tables, context_lens, seq_lens)
     bsz = batch * seq
-    # [B, 2, Hkv, S, D] -> [B*S, 2, Hkv, D]
+    # [B, 2, Hkv, S, D] -> [B*S, 2, Hkv, Dpad]
     new = jnp.stack([k_new, v_new], axis=1)
     new = jnp.moveaxis(new, 3, 1).reshape(bsz, 2, hkv, d)
+    new = _pad_last(new, kv_pages.shape[-1])
 
     def scatter(pool, values):
         old = pool[phys_f, :, :, slot_f]  # [B*S, 2, Hkv, ...]
@@ -503,3 +537,356 @@ def kv_cache_append_prefill_fused(
         return kv_pages, kv_scales, context_lens + seq_lens
     kv_pages = scatter(kv_pages, new.astype(kv_pages.dtype))
     return kv_pages, context_lens + seq_lens
+
+
+# ---------------------------------------------------------------------------
+# Paged PREFILL: multi-token queries attending to the paged cache.
+#
+# The reference's only multi-token paged path re-pages contiguous K/V on
+# every call and frees it after (attention_gpu.zig:484-653, an MVP quirk);
+# here the cache is persistent and caller-owned, which is what chunked
+# prefill / multi-turn serving needs: append the new chunk with
+# kv_cache_append_prefill_fused, then attend over cache history + chunk in
+# one kernel.  Causality is positional: the query at absolute position
+# q_offset[b] + s sees cache tokens 0 .. q_offset[b] + s.
+# ---------------------------------------------------------------------------
+
+
+def _fused_prefill_kernel(
+    ctx_ref, qoff_ref, bt_ref, cont_ref,   # scalar prefetch
+    q_ref,                                 # [1, Hkv, Gp, bq, D] VMEM
+    kv_hbm,                                # [P, 2, Hkv, page, D] ANY
+    *rest,
+    page_size: int,
+    ppcb: int,
+    n_blocks: int,
+    block_q: int,
+    hkv: int,
+    gp: int,
+    scale: float,
+    window: int,
+    causal: bool,
+    quantized: bool,
+    return_lse: bool,
+):
+    rest = list(rest)
+    sc_hbm = rest.pop(0) if quantized else None
+    o_ref = rest.pop(0)
+    lse_ref = rest.pop(0) if return_lse else None
+    if quantized:
+        (m_scr, l_scr, acc_scr, kv_buf, sc_buf, kv_sem, sc_sem) = rest
+    else:
+        (m_scr, l_scr, acc_scr, kv_buf, kv_sem) = rest
+        sc_buf = sc_sem = None
+
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    i = pl.program_id(2)
+
+    length = ctx_ref[b]
+    q_off = qoff_ref[b]
+    tokens_per_block = page_size * ppcb
+    # tokens visible to the LAST row of this q block
+    q_hi = q_off + (qi + 1) * block_q
+    visible = jnp.minimum(length, q_hi) if causal else length
+    n_live = pl.cdiv(visible, tokens_per_block)
+    lo_block = 0
+    if window > 0:
+        # prefill window convention matches the flash kernel / oracle:
+        # qpos - kpos <= window (decode uses trailing-W, see ops/paged.py)
+        first_vis = jnp.maximum(q_off + qi * block_q - window, 0)
+        lo_block = first_vis // tokens_per_block
+
+    def start_dma(block_idx, slot):
+        contiguous = cont_ref[b, block_idx] == 1
+        start_page = jnp.maximum(bt_ref[b, block_idx * ppcb], 0)
+
+        @pl.when(contiguous)
+        def _one_dma():
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(start_page, ppcb)], kv_buf.at[slot],
+                kv_sem.at[slot]).start()
+            if quantized:
+                pltpu.make_async_copy(
+                    sc_hbm.at[pl.ds(start_page, ppcb)], sc_buf.at[slot],
+                    sc_sem.at[slot]).start()
+
+        @pl.when(jnp.logical_not(contiguous))
+        def _per_page():
+            for p in range(ppcb):
+                page_id = jnp.maximum(bt_ref[b, block_idx * ppcb + p], 0)
+                pltpu.make_async_copy(
+                    kv_hbm.at[page_id], kv_buf.at[slot, p],
+                    kv_sem.at[slot]).start()
+                if quantized:
+                    pltpu.make_async_copy(
+                        sc_hbm.at[page_id], sc_buf.at[slot, p],
+                        sc_sem.at[slot]).start()
+
+    def wait_dma(slot):
+        pltpu.make_async_copy(
+            kv_hbm.at[pl.ds(0, ppcb)], kv_buf.at[slot],
+            kv_sem.at[slot]).wait()
+        if quantized:
+            pltpu.make_async_copy(
+                sc_hbm.at[pl.ds(0, ppcb)], sc_buf.at[slot],
+                sc_sem.at[slot]).wait()
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        @pl.when(n_live > lo_block)
+        def _():
+            start_dma(lo_block, 0)
+
+    run = jnp.logical_and(i >= lo_block, i < n_live)
+
+    @pl.when(run)
+    def _compute():
+        slot = jax.lax.rem(i - lo_block, 2)
+
+        @pl.when(i + 1 < n_live)
+        def _prefetch():
+            start_dma(i + 1, 1 - slot)
+
+        wait_dma(slot)
+
+        precision = (jax.lax.Precision.HIGHEST
+                     if q_ref.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+        buf = kv_buf[slot]
+        if quantized:
+            rpk = rows_per_kv(hkv, page_size)
+
+            def factors(row0):
+                parts = [
+                    jnp.swapaxes(sc_buf[slot][:, row0 + r, :], 0, 1)
+                    for r in range(rpk)
+                ]
+                t = (jnp.concatenate(parts, axis=0) if rpk > 1
+                     else parts[0])[: hkv * page_size]
+                t = t.reshape(hkv, page_size, ppcb)
+                return jnp.swapaxes(t, 1, 2)[..., None]
+
+            cdt = q_ref.dtype
+            k4 = jnp.swapaxes(buf[:, 0], 0, 1).astype(cdt) \
+                * factors(0).astype(cdt)
+            v4 = jnp.swapaxes(buf[:, 1], 0, 1).astype(cdt) \
+                * factors(rpk).astype(cdt)
+            k = k4.reshape(hkv, tokens_per_block, -1)
+            v = v4.reshape(hkv, tokens_per_block, -1)
+        else:
+            k = jnp.swapaxes(buf[:, 0], 0, 1).reshape(
+                hkv, tokens_per_block, -1)
+            v = jnp.swapaxes(buf[:, 1], 0, 1).reshape(
+                hkv, tokens_per_block, -1)
+        rows = gp * block_q
+        q = q_ref[0].reshape(hkv, rows, -1)
+
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * scale  # [Hkv, Gp*bq, tokens]
+        s = s.reshape(hkv * rows, tokens_per_block)
+
+        # positional mask: row r of the s tile is query position
+        # q_off + qi*bq + (r % bq); column c is cache position
+        # i*tokens_per_block + c
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        qpos = q_off + qi * block_q + jax.lax.rem(r_iota, block_q)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+            + i * tokens_per_block
+        valid = kpos < length
+        if causal:
+            valid = jnp.logical_and(valid, kpos <= qpos)
+        if window > 0:
+            valid = jnp.logical_and(valid, qpos - kpos <= window)
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        p = jnp.where(valid, p, 0.0)
+        l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = jnp.broadcast_to(l_next[:, :1], l_prev.shape)
+
+        pv = jax.lax.dot_general(
+            p.reshape(hkv, rows, tokens_per_block).astype(v.dtype), v,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] \
+            + pv.reshape(hkv * rows, -1)
+
+    @pl.when(i == n_blocks - 1)
+    def _store():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        if return_lse:
+            lv = l_scr[...]
+            lse = jnp.where(
+                lv > 0.0,
+                m_scr[...] + jnp.log(jnp.where(lv > 0.0, lv, 1.0)),
+                DEFAULT_MASK_VALUE)
+            lse_ref[0] = lse.astype(lse_ref.dtype)
+
+
+def paged_attention_prefill(
+    q: jnp.ndarray,                # [B, Hq, S_new, D]
+    kv_pages: jnp.ndarray,         # [P, 2, Hkv, page, D]
+    block_tables: jnp.ndarray,     # [B, max_pages]
+    context_lens: jnp.ndarray,     # [B] TOTAL visible cache length
+    *,
+    q_offsets: Optional[jnp.ndarray] = None,  # [B]; default lens - S_new
+    kv_scales: Optional[jnp.ndarray] = None,  # packed [P, SR, 128]
+    scale: Optional[float] = None,
+    causal: bool = True,
+    window_size: int = -1,
+    block_q: Optional[int] = None,
+    pages_per_compute_block: Optional[int] = None,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Chunked/multi-turn prefill over a paged cache.
+
+    Append the chunk first (kv_cache_append_prefill_fused), then call with
+    `context_lens` = new total lengths; query s of sequence b sits at
+    absolute position `q_offsets[b] + s` and (causally) attends to cache
+    positions <= its own.  Rows at positions >= context_lens[b] (padding
+    of ragged chunks) produce zeros.  Returns [B, Hq, S_new, D] (+ LSE
+    [B, Hq, S_new] with return_lse=True).
+    """
+    batch, hq, s_new, d_true = q.shape
+    num_pages, _, hkv, page_size, d = kv_pages.shape
+    group = hq // hkv
+    max_pages = block_tables.shape[1]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d_true))
+    if d != pad_head_dim(d_true):
+        raise ValueError(
+            f"kv_pages head_dim {d} does not match padded q head_dim "
+            f"{pad_head_dim(d_true)} (see to_fused_layout/fused_pool_shape)")
+    q = _pad_last(q, d)
+    window = int(window_size) if window_size and window_size > 0 else -1
+    quantized = kv_scales is not None
+    if q_offsets is None:
+        q_offsets = context_lens - s_new
+
+    ppcb = (pages_per_compute_block
+            or get_tile_config().pages_per_compute_block_fused)
+    ppcb = min(ppcb, max_pages)
+    if max_pages % ppcb != 0:
+        pad = ppcb - max_pages % ppcb
+        block_tables = jnp.pad(block_tables, ((0, 0), (0, pad)))
+        max_pages += pad
+    n_blocks = max_pages // ppcb
+
+    sr = scale_rows(hkv, page_size)
+    if quantized and kv_scales.shape != (num_pages, sr, NUM_LANES):
+        raise ValueError(
+            f"kv_scales must be packed {(num_pages, sr, NUM_LANES)} "
+            f"(see pack_fused_scales), got {kv_scales.shape}")
+    if not quantized and q.dtype != kv_pages.dtype:
+        q = q.astype(kv_pages.dtype)
+
+    gp = group if group % MIN_GROUP_PAD == 0 else _pad_group(group)
+    # the kernel's score tile is [hkv*gp*bq, tokens_per_block] f32 — cap
+    # total q rows at 1024 to stay inside scoped VMEM
+    bq = block_q or max(8, min(1024 // (hkv * gp), s_new))
+    sq_pad = -(-s_new // bq) * bq
+    n_q = sq_pad // bq
+
+    q5 = q.reshape(batch, hkv, group, s_new, d)
+    if gp != group:
+        q5 = jnp.pad(q5, ((0, 0), (0, 0), (0, gp - group), (0, 0), (0, 0)))
+    if sq_pad != s_new:
+        q5 = jnp.pad(q5, ((0, 0), (0, 0), (0, 0), (0, sq_pad - s_new),
+                          (0, 0)))
+
+    if interpret is None:
+        interpret = get_config().interpret or (
+            jax.devices()[0].platform != "tpu"
+        )
+
+    in_specs = [
+        pl.BlockSpec((1, hkv, gp, bq, d),
+                     lambda b, qi, i, *_: (b, 0, 0, qi, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [q5, kv_pages]
+    rows = hkv * gp * bq
+    scratch = [
+        pltpu.VMEM((rows, NUM_LANES), jnp.float32),
+        pltpu.VMEM((rows, NUM_LANES), jnp.float32),
+        pltpu.VMEM((rows, d), jnp.float32),
+        pltpu.VMEM((2, ppcb, 2, hkv, page_size, d), kv_pages.dtype),
+    ]
+    sems = [pltpu.SemaphoreType.DMA((2,))]
+    if quantized:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(kv_scales)
+        scratch.append(pltpu.VMEM((2, ppcb, sr, NUM_LANES), jnp.float32))
+        sems.append(pltpu.SemaphoreType.DMA((2,)))
+
+    bt_blocks = block_tables.reshape(batch, n_blocks, ppcb)
+    expected = bt_blocks[..., :1] + jnp.arange(ppcb, dtype=jnp.int32)
+    cont = jnp.all(bt_blocks == expected, axis=-1)
+    cont = jnp.logical_and(cont, bt_blocks[..., 0] >= 0)
+    cont = jnp.logical_and(cont, bt_blocks[..., 0] + ppcb <= num_pages)
+    cont = cont.astype(jnp.int32)
+
+    out_specs = [pl.BlockSpec((1, rows, d),
+                              lambda b, qi, i, *_: (b, qi, 0))]
+    out_shape = [jax.ShapeDtypeStruct((batch, n_q * rows, d), q.dtype)]
+    if return_lse:
+        out_specs.append(pl.BlockSpec(
+            (1, rows, NUM_LANES), lambda b, qi, i, *_: (b, qi, 0)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (batch, n_q * rows, NUM_LANES), jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(batch, n_q, n_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch + sems,
+    )
+
+    kernel = functools.partial(
+        _fused_prefill_kernel,
+        page_size=page_size, ppcb=ppcb, n_blocks=n_blocks, block_q=bq,
+        hkv=hkv, gp=gp, scale=float(scale), window=window, causal=causal,
+        quantized=quantized, return_lse=return_lse,
+    )
+
+    results = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(context_lens.astype(jnp.int32), q_offsets.astype(jnp.int32),
+      block_tables.astype(jnp.int32), cont, *args)
+
+    # [B, n_q*hkv*gp*bq, d] rows ordered (qi, h, g, s_local)
+    out = results[0].reshape(batch, n_q, hkv, gp, bq, d)
+    out = jnp.moveaxis(out, 1, 3)  # [B, hkv, gp, n_q, bq, d]
+    out = out.reshape(batch, hkv, gp, sq_pad, d)[
+        :, :, :group, :s_new, :d_true]
+    out = out.reshape(batch, hq, s_new, d_true)
+    if return_lse:
+        lse = results[1].reshape(batch, n_q, hkv, gp, bq, NUM_LANES)
+        lse = jnp.moveaxis(lse[..., 0], 1, 3)
+        lse = lse.reshape(batch, hkv, gp, sq_pad)[:, :, :group, :s_new]
+        return out, lse.reshape(batch, hq, s_new)
+    return out

@@ -85,8 +85,10 @@ class ServingEngine:
 
         pool_dtype = jnp.int8 if quantized else cfg.dtype
         if layout == "fused":
-            shape = (cfg.n_layers, num_pages, 2, cfg.n_kv_heads,
-                     page_size, cfg.head_dim)
+            from ..ops.paged_fused import fused_pool_shape
+
+            shape = (cfg.n_layers,) + fused_pool_shape(
+                num_pages, cfg.n_kv_heads, page_size, cfg.head_dim)
             self.k_pages = jnp.zeros(shape, pool_dtype)  # fused kv pool
             self.v_pages = None
             from ..ops.paged_fused import fused_scales_shape

@@ -13,6 +13,7 @@ from aule_tpu.ops.paged_fused import (
     to_fused_layout,
 )
 from aule_tpu.ops.quant import quantize_kv
+from aule_tpu.ops.reference import attention_reference_numpy
 from aule_tpu.ops.reference import paged_attention_reference
 from aule_tpu.utils.testing import assert_close
 from tests.test_paged import make_cache
@@ -23,8 +24,8 @@ def test_layout_roundtrip():
     k = jnp.asarray(rng.standard_normal((2, 8, 16, 32)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((2, 8, 16, 32)), jnp.float32)
     kv = to_fused_layout(k, v)
-    assert kv.shape == (8, 2, 2, 16, 32)
-    k2, v2 = from_fused_layout(kv)
+    assert kv.shape == (8, 2, 2, 16, 128)  # head_dim pads to lanes
+    k2, v2 = from_fused_layout(kv, head_dim=32)
     np.testing.assert_array_equal(np.asarray(k), np.asarray(k2))
     np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
 
@@ -98,7 +99,9 @@ def test_fused_append_then_attend():
     batch, hq, hkv, d, page = 2, 4, 2, 64, 16
     num_pages, max_pages = 32, 8
     rng = np.random.default_rng(5)
-    kv = jnp.zeros((num_pages, 2, hkv, page, d), jnp.float32)
+    from aule_tpu.ops.paged_fused import fused_pool_shape
+
+    kv = jnp.zeros(fused_pool_shape(num_pages, hkv, page, d), jnp.float32)
     bt = jnp.asarray(
         np.arange(batch * max_pages, dtype=np.int32).reshape(batch, max_pages))
     ctx = jnp.zeros((batch,), jnp.int32)
@@ -118,3 +121,95 @@ def test_fused_append_then_attend():
     want = attention_reference_numpy(
         q[:, :, None, :], np.stack(ks, 2), np.stack(vs, 2))[:, :, 0]
     assert_close(np.asarray(got), want, 2e-5, 2e-5, "fused-append")
+
+
+def test_paged_prefill_chunked():
+    """Chunked prefill over the paged cache: append chunk 1, then attend
+    chunk 2 against history+chunk with positional causality; matches the
+    contiguous flash reference. Also exercises D=64 pool padding."""
+    from aule_tpu.ops.paged_fused import (
+        fused_pool_shape,
+        kv_cache_append_prefill_fused,
+        paged_attention_prefill,
+    )
+
+    batch, hq, hkv, d, page = 2, 8, 2, 64, 16
+    num_pages, max_pages = 64, 16
+    rng = np.random.default_rng(9)
+    c1 = np.array([30, 48], np.int32)   # chunk-1 (history) lengths
+    s2 = 40                             # chunk-2 padded length
+    c2 = np.array([40, 17], np.int32)   # chunk-2 true lengths
+
+    kv = jnp.zeros(fused_pool_shape(num_pages, hkv, page, d), jnp.float32)
+    bt = jnp.asarray(
+        1 + np.arange(batch * max_pages, dtype=np.int32).reshape(
+            batch, max_pages))
+    total = c1 + c2
+    k1 = rng.standard_normal((batch, hkv, 64, d)).astype(np.float32)
+    v1 = rng.standard_normal((batch, hkv, 64, d)).astype(np.float32)
+    k2 = rng.standard_normal((batch, hkv, s2, d)).astype(np.float32)
+    v2 = rng.standard_normal((batch, hkv, s2, d)).astype(np.float32)
+    q2 = rng.standard_normal((batch, hq, s2, d)).astype(np.float32)
+
+    lens = jnp.zeros((batch,), jnp.int32)
+    kv, lens = kv_cache_append_prefill_fused(
+        kv, jnp.asarray(k1), jnp.asarray(v1), bt, lens, jnp.asarray(c1))
+    kv, lens = kv_cache_append_prefill_fused(
+        kv, jnp.asarray(k2), jnp.asarray(v2), bt, lens, jnp.asarray(c2))
+
+    got = np.asarray(paged_attention_prefill(
+        jnp.asarray(q2), kv, bt, lens, q_offsets=jnp.asarray(c1),
+        causal=True, block_q=16))
+
+    for b in range(batch):
+        hist_k = np.concatenate([k1[b, :, :c1[b]], k2[b, :, :c2[b]]], 1)
+        hist_v = np.concatenate([v1[b, :, :c1[b]], v2[b, :, :c2[b]]], 1)
+        want = attention_reference_numpy(
+            q2[b:b + 1], hist_k[None], hist_v[None], causal=True,
+            q_offset=int(c1[b]))
+        got_b = got[b][:, :int(c2[b])]
+        want_b = want[0][:, :int(c2[b])]
+        err = np.abs(got_b - want_b).max()
+        assert err < 2e-4, f"paged prefill seq {b} err {err}"
+
+
+def test_paged_prefill_quantized_window():
+    from aule_tpu.ops.paged_fused import (
+        fused_scales_shape,
+        fused_pool_shape,
+        kv_cache_append_prefill_fused,
+        paged_attention_prefill,
+    )
+    from aule_tpu.ops.quant import dequantize_kv
+
+    batch, hq, hkv, d, page = 1, 4, 2, 128, 16
+    num_pages, max_pages = 32, 8
+    rng = np.random.default_rng(10)
+    s = 96
+    kv = jnp.zeros(fused_pool_shape(num_pages, hkv, page, d), jnp.int8)
+    sc = jnp.zeros(fused_scales_shape(num_pages, hkv, page), jnp.float32)
+    bt = jnp.asarray(1 + np.arange(max_pages, dtype=np.int32)[None])
+    k = rng.standard_normal((batch, hkv, s, d)).astype(np.float32)
+    v = rng.standard_normal((batch, hkv, s, d)).astype(np.float32)
+    q = rng.standard_normal((batch, hq, s, d)).astype(np.float32)
+    lens = jnp.zeros((batch,), jnp.int32)
+    kv, sc, lens = kv_cache_append_prefill_fused(
+        kv, jnp.asarray(k), jnp.asarray(v), bt, lens,
+        jnp.full((batch,), s, jnp.int32), kv_scales=sc)
+
+    W = 32
+    got = np.asarray(paged_attention_prefill(
+        jnp.asarray(q), kv, bt, lens, kv_scales=sc, causal=True,
+        window_size=W, block_q=16))
+    from aule_tpu.ops.paged_fused import from_fused_layout, \
+        unpack_fused_scales
+    kq, vq = from_fused_layout(kv, head_dim=d)
+    ks, vs = unpack_fused_scales(sc, hkv, page)
+    kd = np.asarray(dequantize_kv(kq, ks))[:, np.asarray(bt[0])].reshape(
+        hkv, max_pages * page, d)[:, :s]
+    vd = np.asarray(dequantize_kv(vq, vs))[:, np.asarray(bt[0])].reshape(
+        hkv, max_pages * page, d)[:, :s]
+    want = attention_reference_numpy(
+        q, kd[None], vd[None], causal=True, window_size=W)
+    err = np.abs(got - np.asarray(want)).max()
+    assert err < 5e-3, f"quantized windowed paged prefill err {err}"
