@@ -174,9 +174,27 @@ def paged_attention(*args, **kwargs):
     return _impl(*args, **kwargs)
 
 
+def paged_attention_fused(*args, **kwargs):
+    """Fused-layout paged decode — the serving fast path (lazy import;
+    see ops/paged_fused.py for the pool layout)."""
+    from .ops.paged_fused import paged_attention_fused as _impl
+
+    return _impl(*args, **kwargs)
+
+
+def paged_attention_prefill(*args, **kwargs):
+    """Chunked/multi-turn prefill over a fused paged cache (lazy import;
+    see ops/paged_fused.py)."""
+    from .ops.paged_fused import paged_attention_prefill as _impl
+
+    return _impl(*args, **kwargs)
+
+
 __all__ = [
     "flash_attention",
     "paged_attention",
+    "paged_attention_fused",
+    "paged_attention_prefill",
     "gravity_attention",
     "spatial_sort",
     "attention_reference",

@@ -358,3 +358,72 @@ def decode_step_fused(
     if quantized:
         return logits, new_kv, lens_out, new_sc
     return logits, new_kv, lens_out
+
+
+def prefill_step_fused(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,           # [B, S_chunk] int32 (padded chunks)
+    q_offsets: jnp.ndarray,        # [B] absolute position of tokens[:, 0]
+    seq_lens: jnp.ndarray,         # [B] valid tokens in this chunk
+    kv_pages: List[jnp.ndarray],   # per-layer fused pools
+    block_tables: jnp.ndarray,
+    cfg: LlamaConfig,
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    kv_scales: Optional[List[jnp.ndarray]] = None,
+):
+    """One CHUNKED-prefill step over fused pools: append the chunk's KV,
+    then attend to cache history + chunk via ops/paged_fused.py's
+    paged_attention_prefill.  Returns (last_logits [B, V], pools,
+    new_lens[, scales]) — logits are for each sequence's LAST valid
+    chunk token (the only row serving ever samples).
+    """
+    from ..ops.paged_fused import (
+        kv_cache_append_prefill_fused,
+        paged_attention_prefill,
+    )
+
+    quantized = kv_scales is not None
+    b, s_chunk = tokens.shape
+    positions = q_offsets[:, None] + jnp.arange(s_chunk, dtype=jnp.int32)
+    x = params["embed"][tokens]
+    new_kv, new_sc = [], []
+    lens_out = q_offsets + seq_lens
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = _split_heads(h @ layer["wq"], cfg.n_heads, cfg.head_dim)
+        k = _split_heads(h @ layer["wk"], cfg.n_kv_heads, cfg.head_dim)
+        v = _split_heads(h @ layer["wv"], cfg.n_kv_heads, cfg.head_dim)
+        q = apply_rope(q, rope_cos, rope_sin, positions[:, None])
+        k = apply_rope(k, rope_cos, rope_sin, positions[:, None])
+
+        if quantized:
+            kv, sc, lens_out = kv_cache_append_prefill_fused(
+                kv_pages[li], k, v, block_tables, q_offsets, seq_lens,
+                kv_scales=kv_scales[li])
+            new_sc.append(sc)
+            attn = paged_attention_prefill(
+                q, kv, block_tables, lens_out, q_offsets=q_offsets,
+                causal=True, kv_scales=sc)
+        else:
+            kv, lens_out = kv_cache_append_prefill_fused(
+                kv_pages[li], k, v, block_tables, q_offsets, seq_lens)
+            attn = paged_attention_prefill(
+                q, kv, block_tables, lens_out, q_offsets=q_offsets,
+                causal=True)
+        new_kv.append(kv)
+        x = x + _merge_heads(attn) @ layer["wo"]
+
+        h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
+        x = x + ((gate * (h @ layer["w_up"]).astype(jnp.float32)).astype(
+            x.dtype) @ layer["w_down"])
+
+    # only the last valid row of each sequence is ever sampled
+    last = jnp.take_along_axis(
+        x, jnp.maximum(seq_lens - 1, 0)[:, None, None], axis=1)[:, 0]
+    last = rms_norm(last, params["final_norm"], cfg.norm_eps)
+    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    if quantized:
+        return logits, new_kv, lens_out, new_sc
+    return logits, new_kv, lens_out

@@ -66,6 +66,8 @@ class ServingEngine:
         sample: Callable[[jnp.ndarray], jnp.ndarray] = None,
         quantized: bool = False,
         layout: str = "fused",
+        prefill_chunk: Optional[int] = None,
+        decode_steps: int = 8,
     ):
         """layout='fused' (default) stores KV in the single-DMA-per-page
         pool layout (ops/paged_fused.py — the serving fast path);
@@ -122,9 +124,27 @@ class ServingEngine:
         self.finished: List[Request] = []
         self._next_id = 0
 
+        # Chunked prefill (fused layout): prompts process in fixed-size
+        # chunks through paged_attention_prefill — one compile for any
+        # prompt length, bounded activation memory.
+        if prefill_chunk is not None and layout != "fused":
+            raise ValueError("prefill_chunk requires layout='fused'")
+        self.prefill_chunk = prefill_chunk
+
+        # Multi-step decode: when every running request has >= decode_steps
+        # tokens to go and nothing is waiting to be admitted, lax.scan K
+        # decode steps inside ONE dispatch — the host loop (and its
+        # per-dispatch latency) otherwise dominates small-model serving.
+        # Sampling is on-device, so the scan is exact for greedy/jittable
+        # samplers; eos overshoot is trimmed host-side.
+        self.decode_steps = max(1, int(decode_steps))
+
         self._decode_jit = jax.jit(self._decode_step)
+        self._decode_multi_jit = jax.jit(
+            self._decode_multi, static_argnames=("n_steps",))
         self._prefill_jit = jax.jit(
             self._prefill, static_argnames=("pad_len",))
+        self._prefill_chunk_jit = jax.jit(self._prefill_chunk_step)
 
     # -- public API ------------------------------------------------------
 
@@ -219,7 +239,44 @@ class ServingEngine:
             v_pages = v_pages.at[li].set(vp)
         return logits, k_pages, v_pages, k_scales, v_scales
 
+    def _prefill_chunk_step(self, tokens, q_offset, seq_len, bt_row,
+                            k_pages, k_scales):
+        """jit'd: one chunk of chunked prefill for one request."""
+        L = self.cfg.n_layers
+        pools = [k_pages[i] for i in range(L)]
+        if self.quantized:
+            logits, kvs, _, scs = llama.prefill_step_fused(
+                self.params, tokens, q_offset, seq_len, pools,
+                bt_row[None], self.cfg, self.rope_cos, self.rope_sin,
+                kv_scales=[k_scales[i] for i in range(L)])
+            return logits, jnp.stack(kvs), jnp.stack(scs)
+        logits, kvs, _ = llama.prefill_step_fused(
+            self.params, tokens, q_offset, seq_len, pools,
+            bt_row[None], self.cfg, self.rope_cos, self.rope_sin)
+        return logits, jnp.stack(kvs), k_scales
+
+    def _run_prefill_chunked(self, slot: int, req: Request) -> None:
+        n = len(req.prompt)
+        c = self.prefill_chunk
+        bt = np.full((self.max_pages_per_seq,), -1, np.int32)
+        pages = self.slot_pages[slot]
+        bt[:len(pages)] = pages
+        bt = jnp.asarray(bt)
+        logits = None
+        for off in range(0, n, c):
+            chunk = req.prompt[off:off + c]
+            tokens = np.zeros((1, c), np.int32)
+            tokens[0, :len(chunk)] = chunk
+            logits, self.k_pages, self.k_scales = self._prefill_chunk_jit(
+                jnp.asarray(tokens), jnp.asarray([off], jnp.int32),
+                jnp.asarray([len(chunk)], jnp.int32), bt,
+                self.k_pages, self.k_scales)
+        self.slot_lens[slot] = n
+        req.output.append(int(self.sample(logits[0])))
+
     def _run_prefill(self, slot: int, req: Request) -> None:
+        if self.prefill_chunk is not None:
+            return self._run_prefill_chunked(slot, req)
         n = len(req.prompt)
         pad_len = max(16, 1 << (n - 1).bit_length())  # pow2 buckets
         tokens = np.zeros((1, pad_len), np.int32)
@@ -275,25 +332,58 @@ class ServingEngine:
         return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
                 k_scales, v_scales)
 
+    def _decode_multi(self, tokens, positions, bt, lens, k_pages, v_pages,
+                      k_scales, v_scales, *, n_steps):
+        """jit'd: n_steps decode steps in one dispatch (lax.scan)."""
+        def body(carry, _):
+            tok, pos, ln, kp, vp, ks, vs = carry
+            nxt, kp, vp, new_ln, ks, vs = self._decode_step(
+                tok, pos, bt, ln, kp, vp, ks, vs)
+            return (nxt, pos + 1, new_ln, kp, vp, ks, vs), nxt
+
+        init = (tokens, positions, lens, k_pages, v_pages,
+                k_scales, v_scales)
+        (tok, pos, ln, kp, vp, ks, vs), toks = jax.lax.scan(
+            body, init, None, length=n_steps)
+        return toks, kp, vp, ln, ks, vs
+
     def _decode_all(self) -> None:
         tokens = np.zeros((self.max_batch,), np.int32)
+        remaining = []
         for s, req in enumerate(self.slots):
-            if req is not None and req.output:
-                tokens[s] = req.output[-1]
+            if req is not None:
+                if req.output:
+                    tokens[s] = req.output[-1]
+                remaining.append(req.max_new_tokens - len(req.output))
         lens = jnp.asarray(self.slot_lens)
-        (next_tokens, self.k_pages, self.v_pages, new_lens,
-         self.k_scales, self.v_scales) = self._decode_jit(
-            jnp.asarray(tokens), lens, self._block_table(), lens,
-            self.k_pages, self.v_pages, self.k_scales, self.v_scales)
-        next_np = np.asarray(next_tokens)
+        k = self.decode_steps
+        multi = (k > 1 and not self.waiting and remaining
+                 and min(remaining) >= k)
+        if multi:
+            (toks, self.k_pages, self.v_pages, new_lens,
+             self.k_scales, self.v_scales) = self._decode_multi_jit(
+                jnp.asarray(tokens), lens, self._block_table(), lens,
+                self.k_pages, self.v_pages, self.k_scales, self.v_scales,
+                n_steps=k)
+            next_np = np.asarray(toks)  # [k, max_batch]
+        else:
+            (next_tokens, self.k_pages, self.v_pages, new_lens,
+             self.k_scales, self.v_scales) = self._decode_jit(
+                jnp.asarray(tokens), lens, self._block_table(), lens,
+                self.k_pages, self.v_pages, self.k_scales, self.v_scales)
+            next_np = np.asarray(next_tokens)[None]
         self.slot_lens = np.asarray(new_lens).copy()
         for s, req in enumerate(self.slots):
             if req is None:
                 self.slot_lens[s] = 0
                 continue
-            req.output.append(int(next_np[s]))
-            if req.done:
-                self._retire(s)
+            for step in range(next_np.shape[0]):
+                req.output.append(int(next_np[step, s]))
+                if req.done:
+                    # eos overshoot: the cache holds a few garbage tokens
+                    # past eos, but the request retires and frees them
+                    self._retire(s)
+                    break
 
     def _retire(self, slot: int) -> None:
         self.finished.append(self.slots[slot])

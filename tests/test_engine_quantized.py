@@ -91,3 +91,27 @@ def test_quantized_decode_step_logits_close(params):
     err = np.abs(np.asarray(logits_f) - np.asarray(logits_q)).max()
     rng_mag = np.abs(np.asarray(logits_f)).max()
     assert err < 0.05 * max(rng_mag, 1.0), (err, rng_mag)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_chunked_prefill_matches_whole(params, quant):
+    """Chunked prefill (paged_attention_prefill over cache history) must
+    generate the same tokens as whole-prompt prefill."""
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, 256, size=n).astype(np.int32)
+               for n in (23, 8, 40)]
+
+    outs = {}
+    for chunk in (None, 8):
+        eng = ServingEngine(params, CFG, max_batch=4, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256, quantized=quant,
+                            prefill_chunk=chunk)
+        for p in prompts:
+            eng.submit(p, max_new_tokens=6)
+        done = eng.run()
+        assert len(done) == len(prompts)
+        outs[chunk] = [r.output for r in done]
+
+    for a, b in zip(outs[None], outs[8]):
+        assert a == b, f"chunked prefill diverged: {a} vs {b}"
