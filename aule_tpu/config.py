@@ -39,11 +39,12 @@ class TileConfig:
     block_q: int = 256
     block_kv: int = 512
     block_kv_compute: int = 256
-    # backward tiles
-    block_q_dkv: int = 128
-    block_kv_dkv: int = 256
-    block_q_dq: int = 256
-    block_kv_dq: int = 128
+    # backward tiles (v5e on-device sweep, S=2048 GQA fwd+bwd:
+    # (512,1024) 81 TFLOP/s eff > (512,512) 71 > (256,256) 51)
+    block_q_dkv: int = 512
+    block_kv_dkv: int = 1024
+    block_q_dq: int = 512
+    block_kv_dq: int = 1024
     # paged decode (fused-layout sweep on v5e: ppcb 32 > 16 >> 8;
     # split layout is DMA-issue-bound and flat in ppcb)
     pages_per_compute_block: int = 8
