@@ -59,6 +59,8 @@ def bench_decode(batch=8, hq=32, hkv=8, d=128, ctx=4096, page=16,
     if ppcb is None:
         ppcb = 32 if fused else 8
 
+    # pools ride as jit ARGUMENTS: closing over device arrays embeds
+    # them as HLO constants (huge compile payloads through the tunnel)
     if fused:
         from aule_tpu.ops.paged_fused import (
             paged_attention_fused,
@@ -69,26 +71,29 @@ def bench_decode(batch=8, hq=32, hkv=8, d=128, ctx=4096, page=16,
             kq, ks = quantize_kv(kf, jnp.int8)
             vq, vs = quantize_kv(vf, jnp.int8)
             kv, sc = to_fused_layout(kq, vq, ks, vs)
-            fn = jax.jit(lambda q: paged_attention_fused(
+            fn = jax.jit(lambda q, kv, sc: paged_attention_fused(
                 q, kv, bt, lens, kv_scales=sc,
                 pages_per_compute_block=ppcb, interpret=False))
+            dt = devtime(fn, q, kv, sc, n_iters=n_iters)
         else:
             kv = to_fused_layout(kf.astype(dtype), vf.astype(dtype))
-            fn = jax.jit(lambda q: paged_attention_fused(
+            fn = jax.jit(lambda q, kv: paged_attention_fused(
                 q, kv, bt, lens, pages_per_compute_block=ppcb,
                 interpret=False))
+            dt = devtime(fn, q, kv, n_iters=n_iters)
     elif quantized:
         kq, ks = quantize_kv(kf, jnp.int8)
         vq, vs = quantize_kv(vf, jnp.int8)
-        fn = jax.jit(lambda q: paged_attention(
+        fn = jax.jit(lambda q, kq, vq, ks, vs: paged_attention(
             q, kq, vq, bt, lens, k_scales=ks, v_scales=vs,
             pages_per_compute_block=ppcb, interpret=False))
+        dt = devtime(fn, q, kq, vq, ks, vs, n_iters=n_iters)
     else:
         kc, vc = kf.astype(dtype), vf.astype(dtype)
-        fn = jax.jit(lambda q: paged_attention(
+        fn = jax.jit(lambda q, kc, vc: paged_attention(
             q, kc, vc, bt, lens, pages_per_compute_block=ppcb,
             interpret=False))
-    dt = devtime(fn, q, n_iters=n_iters)
+        dt = devtime(fn, q, kc, vc, n_iters=n_iters)
     return batch / dt, dt
 
 

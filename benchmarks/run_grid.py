@@ -71,22 +71,25 @@ def bench_decode(b, hq, hkv, ctx, d, page=16, dtype=jnp.bfloat16,
         to_fused_layout,
     )
 
+    # NOTE: pools ride as jit ARGUMENTS — closing over them embeds the
+    # whole cache as HLO constants (huge compile payloads).
     if quantized:
         kq, ks = quantize_kv(kf, jnp.int8)
         vq, vs = quantize_kv(vf, jnp.int8)
         kv, sc = to_fused_layout(kq, vq, ks, vs)
-        f = jax.jit(lambda q: paged_attention_fused(
+        f = jax.jit(lambda q, kv, sc: paged_attention_fused(
             q, kv, bt, lens, kv_scales=sc,
             window_size=window, interpret=False))
         # payload + the packed per-page scale tile
         tile = scale_rows(hkv, page) * 128 * 4
         bpe = 1.0 + tile / (2.0 * hkv * page * d)
+        dt = benchmark(f, q, kv, sc, iters=iters)
     else:
         kv = to_fused_layout(kf.astype(dtype), vf.astype(dtype))
-        f = jax.jit(lambda q: paged_attention_fused(
+        f = jax.jit(lambda q, kv: paged_attention_fused(
             q, kv, bt, lens, window_size=window, interpret=False))
         bpe = jnp.dtype(dtype).itemsize
-    dt = benchmark(f, q, iters=iters)
+        dt = benchmark(f, q, kv, iters=iters)
     sol = decode_speed_of_light_toks(b, hkv, ctx, d, bpe)
     return dt, b / dt, (b / dt) / sol
 
