@@ -38,7 +38,6 @@ class TileConfig:
 
     block_q: int = 256
     block_kv: int = 512
-    block_kv_compute: int = 256
     # backward tiles (v5e on-device sweep, S=2048 GQA fwd+bwd:
     # (512,1024) 81 TFLOP/s eff > (512,512) 71 > (256,256) 51)
     block_q_dkv: int = 512

@@ -219,13 +219,50 @@ def decode_step(
     rope_sin: jnp.ndarray,
     k_scales: Optional[List[jnp.ndarray]] = None,  # per-layer, quantized
     v_scales: Optional[List[jnp.ndarray]] = None,
+    mesh=None,
+    data_axis: str = "data",
+    model_axis: str = "model",
 ):
     """One decode step: appends this token's K/V to the paged cache and
     attends over it with the paged kernel.  Returns
     (logits [B, V], k_pages, v_pages, new_context_lens) — plus
     (k_scales, v_scales) appended to the tuple when quantized pools are
-    passed."""
+    passed.
+
+    With `mesh`, the append+attend runs as a shard_map island with KV
+    heads (and their GQA q-head groups) sharded over `model_axis` —
+    single-replica tensor-parallel serving.  Pools must be head-sharded
+    ([Hkv, ...] with Hkv % tp == 0); block tables / lens replicate.
+    Serving data parallelism is engine-replica-level by design (each
+    replica owns its own pool), so no batch axis here."""
     quantized = k_scales is not None
+
+    def _attend_local(q, k, v, kp, vp, ks, vs, bt, lens):
+        if quantized:
+            kp, vp, ks, vs, lens_out = kv_cache_append_decode_quantized(
+                kp, vp, ks, vs, k, v, bt, lens)
+            attn = paged_attention(q, kp, vp, bt, lens_out,
+                                   k_scales=ks, v_scales=vs)
+        else:
+            kp, vp, lens_out = kv_cache_append_decode(kp, vp, k, v, bt, lens)
+            attn = paged_attention(q, kp, vp, bt, lens_out)
+            ks = vs = jnp.zeros((), jnp.float32)
+        return attn, kp, vp, ks, vs, lens_out
+
+    if mesh is not None:
+        hspec = P(None, model_axis, None)
+        pool_spec = P(model_axis, None, None, None)
+        scale_spec = P(model_axis, None, None) if quantized else P()
+        attend = shard_map(
+            _attend_local, mesh=mesh,
+            in_specs=(hspec, hspec, hspec, pool_spec, pool_spec,
+                      scale_spec, scale_spec, P(None, None), P(None)),
+            out_specs=(hspec, pool_spec, pool_spec, scale_spec,
+                       scale_spec, P(None)),
+            check_vma=False,
+        )
+    else:
+        attend = _attend_local
     x = params["embed"][token]  # [B, dim]
     new_k_pages, new_v_pages = [], []
     new_k_scales, new_v_scales = [], []
@@ -246,18 +283,14 @@ def decode_step(
             [k[..., :half] * c - k[..., half:] * sn,
              k[..., :half] * sn + k[..., half:] * c], axis=-1).astype(k.dtype)
 
+        ksi = k_scales[li] if quantized else jnp.zeros((), jnp.float32)
+        vsi = v_scales[li] if quantized else jnp.zeros((), jnp.float32)
+        attn, kp, vp, ks, vs, lens_out = attend(
+            q, k, v, k_pages[li], v_pages[li], ksi, vsi,
+            block_tables, context_lens)
         if quantized:
-            kp, vp, ks, vs, lens_out = kv_cache_append_decode_quantized(
-                k_pages[li], v_pages[li], k_scales[li], v_scales[li],
-                k, v, block_tables, context_lens)
             new_k_scales.append(ks)
             new_v_scales.append(vs)
-            attn = paged_attention(q, kp, vp, block_tables, lens_out,
-                                   k_scales=ks, v_scales=vs)
-        else:
-            kp, vp, lens_out = kv_cache_append_decode(
-                k_pages[li], v_pages[li], k, v, block_tables, context_lens)
-            attn = paged_attention(q, kp, vp, block_tables, lens_out)
         new_k_pages.append(kp)
         new_v_pages.append(vp)
         x = x + attn.reshape(-1, cfg.n_heads * cfg.head_dim) @ layer["wo"]

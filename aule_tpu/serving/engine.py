@@ -68,10 +68,18 @@ class ServingEngine:
         layout: str = "fused",
         prefill_chunk: Optional[int] = None,
         decode_steps: int = 8,
+        mesh=None,
+        model_axis: str = "model",
     ):
         """layout='fused' (default) stores KV in the single-DMA-per-page
         pool layout (ops/paged_fused.py — the serving fast path);
-        layout='split' keeps vLLM-style head-major pools."""
+        layout='split' keeps vLLM-style head-major pools.
+
+        mesh: tensor-parallel serving — params and pools shard their
+        head dimensions over `model_axis` (requires layout='split' and
+        n_kv_heads % tp == 0; use a mesh whose data axis is 1 — serving
+        data parallelism is engine-replica-level, each replica owning
+        its own pool and request queue)."""
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -81,6 +89,14 @@ class ServingEngine:
         if layout not in ("fused", "split"):
             raise ValueError(f"unknown layout {layout!r}")
         self.layout = layout
+        # Tensor-parallel serving: heads (and pools) shard over
+        # `model_axis`; requires the split layout (a fused page
+        # interleaves every kv head).  Serving DATA parallelism is
+        # engine-replica-level by design — each replica owns its pool.
+        if mesh is not None and layout != "split":
+            raise ValueError("mesh serving requires layout='split'")
+        self.mesh = mesh
+        self.model_axis = model_axis
         self.rope_cos, self.rope_sin = precompute_rope_frequencies(
             max_seq_len, cfg.head_dim, cfg.rope_base)
         self.sample = sample or (lambda logits: jnp.argmax(logits, -1))
@@ -109,6 +125,24 @@ class ServingEngine:
                              if quantized else None)
             self.v_scales = (jnp.zeros(shape[:-1], jnp.float32)
                              if quantized else None)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ps = llama.param_specs(cfg)
+            self.params = jax.device_put(
+                params, jax.tree.map(
+                    lambda s: NamedSharding(mesh, s), ps,
+                    is_leaf=lambda x: isinstance(x, P)))
+            pool_spec = NamedSharding(
+                mesh, P(None, model_axis, None, None, None))
+            self.k_pages = jax.device_put(self.k_pages, pool_spec)
+            self.v_pages = jax.device_put(self.v_pages, pool_spec)
+            if quantized:
+                sc_spec = NamedSharding(
+                    mesh, P(None, model_axis, None, None))
+                self.k_scales = jax.device_put(self.k_scales, sc_spec)
+                self.v_scales = jax.device_put(self.v_scales, sc_spec)
+
         self.allocator = make_allocator(num_pages)
         # Reserve page 0 as a scratch sink: empty batch slots carry -1
         # block tables which clamp to page 0, so their dummy decode
@@ -211,7 +245,8 @@ class ServingEngine:
         (logits, k_pages, v_pages, k_scales, v_scales)."""
         logits, kv = llama.forward(
             self.params, tokens, self.cfg,
-            rope_cos=self.rope_cos, rope_sin=self.rope_sin, return_kv=True)
+            rope_cos=self.rope_cos, rope_sin=self.rope_sin, return_kv=True,
+            mesh=self.mesh, model_axis=self.model_axis)
         zero = jnp.zeros((1,), jnp.int32)
         for li, (k, v) in enumerate(kv):
             if self.layout == "fused":
@@ -319,7 +354,8 @@ class ServingEngine:
                 [v_pages[i] for i in range(L)],
                 bt, lens, self.cfg, self.rope_cos, self.rope_sin,
                 k_scales=[k_scales[i] for i in range(L)],
-                v_scales=[v_scales[i] for i in range(L)])
+                v_scales=[v_scales[i] for i in range(L)],
+                mesh=self.mesh, model_axis=self.model_axis)
             next_tokens = self.sample(logits)
             return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
                     jnp.stack(kss), jnp.stack(vss))
@@ -327,7 +363,8 @@ class ServingEngine:
             self.params, tokens, positions,
             [k_pages[i] for i in range(L)],
             [v_pages[i] for i in range(L)],
-            bt, lens, self.cfg, self.rope_cos, self.rope_sin)
+            bt, lens, self.cfg, self.rope_cos, self.rope_sin,
+            mesh=self.mesh, model_axis=self.model_axis)
         next_tokens = self.sample(logits)
         return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
                 k_scales, v_scales)

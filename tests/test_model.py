@@ -102,3 +102,66 @@ def test_train_step_reduces_loss(params):
     l1 = float(llama.loss_fn(p, tokens, CFG))
     assert np.isfinite(l0) and np.isfinite(l1)
     assert l1 < l0, (l0, l1)
+
+
+def test_decode_step_tensor_parallel(params):
+    """decode_step with a (1, tp) mesh (heads sharded over 'model') matches
+    the single-device decode step exactly."""
+    from aule_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    rng = np.random.default_rng(3)
+    batch, page, num_pages, max_pages = 2, 16, 32, 8
+    token = jnp.asarray(rng.integers(0, 256, size=batch), jnp.int32)
+    positions = jnp.asarray([5, 12], jnp.int32)
+    bt = jnp.asarray(np.arange(batch * max_pages, dtype=np.int32).reshape(
+        batch, max_pages))
+    lens = jnp.asarray([5, 12], jnp.int32)
+
+    def pools():
+        r1, r2 = np.random.default_rng(4), np.random.default_rng(5)
+        kp = [jnp.asarray(r1.standard_normal(
+            (CFG.n_kv_heads, num_pages, page, CFG.head_dim)), jnp.float32)
+            for _ in range(CFG.n_layers)]
+        vp = [jnp.asarray(r2.standard_normal(
+            (CFG.n_kv_heads, num_pages, page, CFG.head_dim)), jnp.float32)
+            for _ in range(CFG.n_layers)]
+        return kp, vp
+
+    kp, vp = pools()
+    ref_logits, *_ = llama.decode_step(
+        params, token, positions, kp, vp, bt, lens, CFG,
+        jnp.asarray(np.cos(np.ones((64, CFG.head_dim // 2)))),
+        jnp.asarray(np.sin(np.ones((64, CFG.head_dim // 2)))))
+
+    kp2, vp2 = pools()
+    tp_logits, *_ = llama.decode_step(
+        params, token, positions, kp2, vp2, bt, lens, CFG,
+        jnp.asarray(np.cos(np.ones((64, CFG.head_dim // 2)))),
+        jnp.asarray(np.sin(np.ones((64, CFG.head_dim // 2)))),
+        mesh=mesh)
+
+    np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_engine_tensor_parallel(params):
+    """ServingEngine(mesh=tp-mesh, layout='split') generates the same
+    tokens as the single-device engine."""
+    from aule_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(8)
+    prompts = [rng.integers(0, 256, size=n).astype(np.int32)
+               for n in (7, 13)]
+
+    outs = {}
+    for mesh in (None, make_mesh((1, 2), ("data", "model"),
+                                 devices=jax.devices()[:2])):
+        eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256, layout="split", mesh=mesh)
+        for p in prompts:
+            eng.submit(p, max_new_tokens=5)
+        done = eng.run()
+        outs[mesh is None] = [r.output for r in done]
+    assert outs[True] == outs[False], (outs[True], outs[False])
