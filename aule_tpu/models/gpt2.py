@@ -1,0 +1,258 @@
+"""Functional GPT-2-style decoder wired to the aule-tpu kernels.
+
+The reference's model integration targets GPT-2 (python/aule/patching.py:
+15-128 monkeypatches GPT2Attention.forward through its flash kernel); here
+the equivalent is a native model family: MHA (Hkv == Hq), head_dim 64,
+learned absolute position embeddings, pre-LN blocks, GELU MLP, weight-tied
+LM head.  Exposes the same serving entry points as models/llama.py
+(forward / decode_step_fused / prefill_step_fused) so the ServingEngine
+drives either family.
+
+Note head_dim=64: fused pools pad D to the 128-lane width
+(ops/paged_fused.py::pad_head_dim) — exercised end-to-end by this family.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.flash import flash_attention_fwd
+
+
+@dataclasses.dataclass
+class GPT2Config:
+    vocab_size: int = 50257
+    n_ctx: int = 1024
+    dim: int = 768
+    n_layers: int = 12
+    n_heads: int = 12
+    norm_eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    # engine compatibility (MHA: kv heads == q heads)
+    @property
+    def n_kv_heads(self) -> int:
+        return self.n_heads
+
+    @property
+    def hidden_dim(self) -> int:
+        return 4 * self.dim
+
+    @property
+    def rope_base(self) -> float:  # engine builds (unused) rope tables
+        return 10000.0
+
+    @classmethod
+    def tiny(cls, **kw) -> "GPT2Config":
+        defaults = dict(vocab_size=256, n_ctx=256, dim=128, n_layers=2,
+                        n_heads=2)
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+def init_params(cfg: GPT2Config, key: jax.Array) -> Dict[str, Any]:
+    def dense(key, fan_in, shape):
+        return (jax.random.normal(key, shape, jnp.float32)
+                / jnp.sqrt(fan_in)).astype(cfg.dtype)
+
+    keys = jax.random.split(key, 2 + 4 * cfg.n_layers)
+    params: Dict[str, Any] = {
+        "wte": dense(keys[0], cfg.dim, (cfg.vocab_size, cfg.dim)),
+        "wpe": 0.01 * jax.random.normal(
+            keys[1], (cfg.n_ctx, cfg.dim), jnp.float32).astype(cfg.dtype),
+        "final_ln_g": jnp.ones((cfg.dim,), cfg.dtype),
+        "final_ln_b": jnp.zeros((cfg.dim,), cfg.dtype),
+        "layers": [],
+    }
+    for li in range(cfg.n_layers):
+        k = keys[2 + 4 * li: 6 + 4 * li]
+        params["layers"].append({
+            "ln1_g": jnp.ones((cfg.dim,), cfg.dtype),
+            "ln1_b": jnp.zeros((cfg.dim,), cfg.dtype),
+            "w_qkv": dense(k[0], cfg.dim, (cfg.dim, 3 * cfg.dim)),
+            "w_proj": dense(k[1], cfg.dim, (cfg.dim, cfg.dim)),
+            "ln2_g": jnp.ones((cfg.dim,), cfg.dtype),
+            "ln2_b": jnp.zeros((cfg.dim,), cfg.dtype),
+            "w_fc": dense(k[2], cfg.dim, (cfg.dim, 4 * cfg.dim)),
+            "w_out": dense(k[3], 4 * cfg.dim, (4 * cfg.dim, cfg.dim)),
+        })
+    return params
+
+
+def layer_norm(x, g, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * g + b).astype(x.dtype)
+
+
+def _split(x, n_heads, head_dim):
+    b, s, _ = x.shape
+    return x.reshape(b, s, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def _merge(x):
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _qkv(layer, h, cfg):
+    qkv = h @ layer["w_qkv"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return (_split(q, cfg.n_heads, cfg.head_dim),
+            _split(k, cfg.n_heads, cfg.head_dim),
+            _split(v, cfg.n_heads, cfg.head_dim))
+
+
+def _mlp(layer, x, cfg):
+    h = layer_norm(x, layer["ln2_g"], layer["ln2_b"], cfg.norm_eps)
+    return x + jax.nn.gelu(h @ layer["w_fc"]) @ layer["w_out"]
+
+
+def forward(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,       # [B, S] int32
+    cfg: GPT2Config,
+    *,
+    rope_cos=None,             # unused (learned positions); engine-compat
+    rope_sin=None,
+    positions: Optional[jnp.ndarray] = None,   # [B, S] absolute
+    return_kv: bool = False,
+    mesh=None,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """Causal-LM forward; returns logits [B, S, V] (+ per-layer (k, v))."""
+    del mesh, data_axis, model_axis  # MHA tp: future work
+    b, s = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    x = params["wte"][tokens] + params["wpe"][positions]
+    kv_out = []
+    for layer in params["layers"]:
+        h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], cfg.norm_eps)
+        q, k, v = _qkv(layer, h, cfg)
+        if return_kv:
+            kv_out.append((k, v))
+        attn = flash_attention_fwd(q, k, v, causal=True, return_lse=False)
+        x = x + _merge(attn) @ layer["w_proj"]
+        x = _mlp(layer, x, cfg)
+    x = layer_norm(x, params["final_ln_g"], params["final_ln_b"],
+                   cfg.norm_eps)
+    logits = (x @ params["wte"].T).astype(jnp.float32)
+    if return_kv:
+        return logits, kv_out
+    return logits
+
+
+def decode_step_fused(
+    params: Dict[str, Any],
+    token: jnp.ndarray,            # [B] int32
+    positions: jnp.ndarray,        # [B] int32 absolute
+    kv_pages: List[jnp.ndarray],
+    block_tables: jnp.ndarray,
+    context_lens: jnp.ndarray,
+    cfg: GPT2Config,
+    rope_cos=None,
+    rope_sin=None,
+    kv_scales: Optional[List[jnp.ndarray]] = None,
+):
+    """One decode step over fused pools (signature mirrors llama's)."""
+    from ..ops.paged_fused import (
+        kv_cache_append_decode_fused,
+        paged_attention_fused,
+    )
+
+    quantized = kv_scales is not None
+    x = params["wte"][token] + params["wpe"][positions]
+    new_kv, new_sc = [], []
+    lens_out = context_lens
+    for li, layer in enumerate(params["layers"]):
+        h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], cfg.norm_eps)
+        qkv = h @ layer["w_qkv"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(-1, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(-1, cfg.n_heads, cfg.head_dim)
+        v = v.reshape(-1, cfg.n_heads, cfg.head_dim)
+        if quantized:
+            kv, sc, lens_out = kv_cache_append_decode_fused(
+                kv_pages[li], k, v, block_tables, context_lens,
+                kv_scales=kv_scales[li])
+            new_sc.append(sc)
+            attn = paged_attention_fused(q, kv, block_tables, lens_out,
+                                         kv_scales=sc)
+        else:
+            kv, lens_out = kv_cache_append_decode_fused(
+                kv_pages[li], k, v, block_tables, context_lens)
+            attn = paged_attention_fused(q, kv, block_tables, lens_out)
+        new_kv.append(kv)
+        x = x + attn.reshape(-1, cfg.dim) @ layer["w_proj"]
+        x = _mlp(layer, x, cfg)
+    x = layer_norm(x, params["final_ln_g"], params["final_ln_b"],
+                   cfg.norm_eps)
+    logits = (x @ params["wte"].T).astype(jnp.float32)
+    if quantized:
+        return logits, new_kv, lens_out, new_sc
+    return logits, new_kv, lens_out
+
+
+def prefill_step_fused(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,           # [B, S_chunk]
+    q_offsets: jnp.ndarray,        # [B]
+    seq_lens: jnp.ndarray,         # [B]
+    kv_pages: List[jnp.ndarray],
+    block_tables: jnp.ndarray,
+    cfg: GPT2Config,
+    rope_cos=None,
+    rope_sin=None,
+    kv_scales: Optional[List[jnp.ndarray]] = None,
+):
+    """Chunked prefill over fused pools (signature mirrors llama's)."""
+    from ..ops.paged_fused import (
+        kv_cache_append_prefill_fused,
+        paged_attention_prefill,
+    )
+
+    quantized = kv_scales is not None
+    b, s_chunk = tokens.shape
+    positions = q_offsets[:, None] + jnp.arange(s_chunk, dtype=jnp.int32)
+    x = params["wte"][tokens] + params["wpe"][positions]
+    new_kv, new_sc = [], []
+    lens_out = q_offsets + seq_lens
+    for li, layer in enumerate(params["layers"]):
+        h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], cfg.norm_eps)
+        q, k, v = _qkv(layer, h, cfg)
+        if quantized:
+            kv, sc, lens_out = kv_cache_append_prefill_fused(
+                kv_pages[li], k, v, block_tables, q_offsets, seq_lens,
+                kv_scales=kv_scales[li])
+            new_sc.append(sc)
+            attn = paged_attention_prefill(
+                q, kv, block_tables, lens_out, q_offsets=q_offsets,
+                causal=True, kv_scales=sc)
+        else:
+            kv, lens_out = kv_cache_append_prefill_fused(
+                kv_pages[li], k, v, block_tables, q_offsets, seq_lens)
+            attn = paged_attention_prefill(
+                q, kv, block_tables, lens_out, q_offsets=q_offsets,
+                causal=True)
+        new_kv.append(kv)
+        x = x + _merge(attn) @ layer["w_proj"]
+        x = _mlp(layer, x, cfg)
+    last = jnp.take_along_axis(
+        x, jnp.maximum(seq_lens - 1, 0)[:, None, None], axis=1)[:, 0]
+    last = layer_norm(last, params["final_ln_g"], params["final_ln_b"],
+                      cfg.norm_eps)
+    logits = (last @ params["wte"].T).astype(jnp.float32)
+    if quantized:
+        return logits, new_kv, lens_out, new_sc
+    return logits, new_kv, lens_out

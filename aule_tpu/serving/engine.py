@@ -70,6 +70,7 @@ class ServingEngine:
         decode_steps: int = 8,
         mesh=None,
         model_axis: str = "model",
+        model=None,
     ):
         """layout='fused' (default) stores KV in the single-DMA-per-page
         pool layout (ops/paged_fused.py — the serving fast path);
@@ -82,6 +83,10 @@ class ServingEngine:
         its own pool and request queue)."""
         self.params = params
         self.cfg = cfg
+        # model family module (models/llama.py interface: forward,
+        # decode_step_fused, prefill_step_fused[, decode_step]); defaults
+        # to Llama, models/gpt2.py provides the same surface
+        self.model = model if model is not None else llama
         self.max_batch = max_batch
         self.page_size = page_size
         self.max_pages_per_seq = max_pages_per_seq
@@ -128,7 +133,7 @@ class ServingEngine:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            ps = llama.param_specs(cfg)
+            ps = self.model.param_specs(cfg)
             self.params = jax.device_put(
                 params, jax.tree.map(
                     lambda s: NamedSharding(mesh, s), ps,
@@ -243,7 +248,7 @@ class ServingEngine:
         tokens: [1, pad_len]; true_len: [1] valid-token count (padding
         tokens are masked out of the scatter); returns
         (logits, k_pages, v_pages, k_scales, v_scales)."""
-        logits, kv = llama.forward(
+        logits, kv = self.model.forward(
             self.params, tokens, self.cfg,
             rope_cos=self.rope_cos, rope_sin=self.rope_sin, return_kv=True,
             mesh=self.mesh, model_axis=self.model_axis)
@@ -280,12 +285,12 @@ class ServingEngine:
         L = self.cfg.n_layers
         pools = [k_pages[i] for i in range(L)]
         if self.quantized:
-            logits, kvs, _, scs = llama.prefill_step_fused(
+            logits, kvs, _, scs = self.model.prefill_step_fused(
                 self.params, tokens, q_offset, seq_len, pools,
                 bt_row[None], self.cfg, self.rope_cos, self.rope_sin,
                 kv_scales=[k_scales[i] for i in range(L)])
             return logits, jnp.stack(kvs), jnp.stack(scs)
-        logits, kvs, _ = llama.prefill_step_fused(
+        logits, kvs, _ = self.model.prefill_step_fused(
             self.params, tokens, q_offset, seq_len, pools,
             bt_row[None], self.cfg, self.rope_cos, self.rope_sin)
         return logits, jnp.stack(kvs), k_scales
@@ -336,19 +341,19 @@ class ServingEngine:
         if self.layout == "fused":
             pools = [k_pages[i] for i in range(L)]
             if self.quantized:
-                logits, kvs, new_lens, scs = llama.decode_step_fused(
+                logits, kvs, new_lens, scs = self.model.decode_step_fused(
                     self.params, tokens, positions, pools, bt, lens,
                     self.cfg, self.rope_cos, self.rope_sin,
                     kv_scales=[k_scales[i] for i in range(L)])
                 return (self.sample(logits), jnp.stack(kvs), v_pages,
                         new_lens, jnp.stack(scs), v_scales)
-            logits, kvs, new_lens = llama.decode_step_fused(
+            logits, kvs, new_lens = self.model.decode_step_fused(
                 self.params, tokens, positions, pools, bt, lens,
                 self.cfg, self.rope_cos, self.rope_sin)
             return (self.sample(logits), jnp.stack(kvs), v_pages,
                     new_lens, k_scales, v_scales)
         if self.quantized:
-            logits, kps, vps, new_lens, kss, vss = llama.decode_step(
+            logits, kps, vps, new_lens, kss, vss = self.model.decode_step(
                 self.params, tokens, positions,
                 [k_pages[i] for i in range(L)],
                 [v_pages[i] for i in range(L)],
@@ -359,7 +364,7 @@ class ServingEngine:
             next_tokens = self.sample(logits)
             return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
                     jnp.stack(kss), jnp.stack(vss))
-        logits, kps, vps, new_lens = llama.decode_step(
+        logits, kps, vps, new_lens = self.model.decode_step(
             self.params, tokens, positions,
             [k_pages[i] for i in range(L)],
             [v_pages[i] for i in range(L)],

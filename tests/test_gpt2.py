@@ -1,0 +1,88 @@
+"""GPT-2 model family: forward/decode parity, engine integration, D=64
+pool padding end-to-end (the reference's integration target is GPT-2,
+python/aule/patching.py:15-128)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aule_tpu.models import gpt2
+from aule_tpu.serving.engine import ServingEngine
+
+CFG = gpt2.GPT2Config.tiny()   # head_dim = 64 -> exercises pool padding
+
+
+@pytest.fixture(scope="module")
+def params():
+    return gpt2.init_params(CFG, jax.random.key(0))
+
+
+def test_forward_vs_oracle(params):
+    """flash-kernel forward == naive masked-softmax attention forward."""
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 256, size=(2, 24)), jnp.int32)
+    logits = gpt2.forward(params, tokens, CFG)
+
+    def naive(params, tokens):
+        b, s = tokens.shape
+        pos = jnp.arange(s)[None]
+        x = params["wte"][tokens] + params["wpe"][pos]
+        for layer in params["layers"]:
+            h = gpt2.layer_norm(x, layer["ln1_g"], layer["ln1_b"],
+                                CFG.norm_eps)
+            q, k, v = gpt2._qkv(layer, h, CFG)
+            sc = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(CFG.head_dim)
+            mask = jnp.tril(jnp.ones((s, s), bool))
+            sc = jnp.where(mask, sc, -1e30)
+            attn = jnp.einsum("bhqk,bhkd->bhqd",
+                              jax.nn.softmax(sc, axis=-1), v)
+            x = x + gpt2._merge(attn) @ layer["w_proj"]
+            x = gpt2._mlp(layer, x, CFG)
+        x = gpt2.layer_norm(x, params["final_ln_g"], params["final_ln_b"],
+                            CFG.norm_eps)
+        return (x @ params["wte"].T).astype(jnp.float32)
+
+    want = naive(params, tokens)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_engine_gpt2_decode_matches_forward(params):
+    """Greedy generation through the engine == full-forward oracle."""
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, 256, size=9).astype(np.int32)
+    steps = 5
+
+    seq = list(prompt)
+    oracle = []
+    for _ in range(steps):
+        logits = gpt2.forward(
+            params, jnp.asarray(np.asarray(seq)[None], jnp.int32), CFG)
+        nxt = int(jnp.argmax(logits[0, len(seq) - 1]))
+        oracle.append(nxt)
+        seq.append(nxt)
+
+    eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256, model=gpt2)
+    eng.submit(prompt, max_new_tokens=steps)
+    done = eng.run()
+    assert done[0].output == oracle, (done[0].output, oracle)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_engine_gpt2_chunked_prefill(params, quant):
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, 256, size=n).astype(np.int32)
+               for n in (19, 33)]
+    outs = {}
+    for chunk in (None, 8):
+        eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256, model=gpt2, quantized=quant,
+                            prefill_chunk=chunk)
+        for p in prompts:
+            eng.submit(p, max_new_tokens=4)
+        outs[chunk] = [r.output for r in eng.run()]
+    assert outs[None] == outs[8], (outs[None], outs[8])
