@@ -78,11 +78,15 @@ def init_params(cfg: GPT2Config, key: jax.Array) -> Dict[str, Any]:
             "ln1_g": jnp.ones((cfg.dim,), cfg.dtype),
             "ln1_b": jnp.zeros((cfg.dim,), cfg.dtype),
             "w_qkv": dense(k[0], cfg.dim, (cfg.dim, 3 * cfg.dim)),
+            "qkv_b": jnp.zeros((3 * cfg.dim,), cfg.dtype),
             "w_proj": dense(k[1], cfg.dim, (cfg.dim, cfg.dim)),
+            "proj_b": jnp.zeros((cfg.dim,), cfg.dtype),
             "ln2_g": jnp.ones((cfg.dim,), cfg.dtype),
             "ln2_b": jnp.zeros((cfg.dim,), cfg.dtype),
             "w_fc": dense(k[2], cfg.dim, (cfg.dim, 4 * cfg.dim)),
+            "fc_b": jnp.zeros((4 * cfg.dim,), cfg.dtype),
             "w_out": dense(k[3], 4 * cfg.dim, (4 * cfg.dim, cfg.dim)),
+            "out_b": jnp.zeros((cfg.dim,), cfg.dtype),
         })
     return params
 
@@ -105,7 +109,7 @@ def _merge(x):
 
 
 def _qkv(layer, h, cfg):
-    qkv = h @ layer["w_qkv"]
+    qkv = h @ layer["w_qkv"] + layer["qkv_b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     return (_split(q, cfg.n_heads, cfg.head_dim),
             _split(k, cfg.n_heads, cfg.head_dim),
@@ -114,7 +118,8 @@ def _qkv(layer, h, cfg):
 
 def _mlp(layer, x, cfg):
     h = layer_norm(x, layer["ln2_g"], layer["ln2_b"], cfg.norm_eps)
-    return x + jax.nn.gelu(h @ layer["w_fc"]) @ layer["w_out"]
+    h = jax.nn.gelu(h @ layer["w_fc"] + layer["fc_b"])
+    return x + h @ layer["w_out"] + layer["out_b"]
 
 
 def forward(
@@ -143,7 +148,7 @@ def forward(
         if return_kv:
             kv_out.append((k, v))
         attn = flash_attention_fwd(q, k, v, causal=True, return_lse=False)
-        x = x + _merge(attn) @ layer["w_proj"]
+        x = x + _merge(attn) @ layer["w_proj"] + layer["proj_b"]
         x = _mlp(layer, x, cfg)
     x = layer_norm(x, params["final_ln_g"], params["final_ln_b"],
                    cfg.norm_eps)
@@ -177,7 +182,7 @@ def decode_step_fused(
     lens_out = context_lens
     for li, layer in enumerate(params["layers"]):
         h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], cfg.norm_eps)
-        qkv = h @ layer["w_qkv"]
+        qkv = h @ layer["w_qkv"] + layer["qkv_b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(-1, cfg.n_heads, cfg.head_dim)
         k = k.reshape(-1, cfg.n_heads, cfg.head_dim)
@@ -194,7 +199,7 @@ def decode_step_fused(
                 kv_pages[li], k, v, block_tables, context_lens)
             attn = paged_attention_fused(q, kv, block_tables, lens_out)
         new_kv.append(kv)
-        x = x + attn.reshape(-1, cfg.dim) @ layer["w_proj"]
+        x = x + attn.reshape(-1, cfg.dim) @ layer["w_proj"] + layer["proj_b"]
         x = _mlp(layer, x, cfg)
     x = layer_norm(x, params["final_ln_g"], params["final_ln_b"],
                    cfg.norm_eps)
@@ -246,7 +251,7 @@ def prefill_step_fused(
                 q, kv, block_tables, lens_out, q_offsets=q_offsets,
                 causal=True)
         new_kv.append(kv)
-        x = x + _merge(attn) @ layer["w_proj"]
+        x = x + _merge(attn) @ layer["w_proj"] + layer["proj_b"]
         x = _mlp(layer, x, cfg)
     last = jnp.take_along_axis(
         x, jnp.maximum(seq_lens - 1, 0)[:, None, None], axis=1)[:, 0]

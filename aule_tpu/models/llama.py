@@ -49,6 +49,10 @@ class LlamaConfig:
     rope_base: float = 500000.0
     norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
+    # sliding-window attention (Mistral-style); -1 = full attention.
+    # Prefill uses the flash window mask; decode restricts the paged
+    # kernel to the trailing `window_size` tokens.
+    window_size: int = -1
 
     @property
     def head_dim(self) -> int:
@@ -58,6 +62,15 @@ class LlamaConfig:
     def llama3_8b(cls) -> "LlamaConfig":
         return cls(vocab_size=128256, dim=4096, n_layers=32, n_heads=32,
                    n_kv_heads=8, hidden_dim=14336)
+
+    @classmethod
+    def mistral_7b(cls) -> "LlamaConfig":
+        """Mistral-7B shape: Llama architecture + 4096-token sliding
+        window (the reference's Mistral benchmark target,
+        python/README.md:23)."""
+        return cls(vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
+                   n_kv_heads=8, hidden_dim=14336, rope_base=10000.0,
+                   window_size=4096)
 
     @classmethod
     def tiny(cls, **kw) -> "LlamaConfig":
@@ -146,7 +159,8 @@ def _make_attn_fn(cfg: LlamaConfig, mesh, data_axis: str,
     rule, so the explicit shard_map is what keeps the kernel local to each
     chip's head/batch shard."""
     def local(q, k, v):
-        return flash_attention_vjp(q, k, v, causal=True)
+        return flash_attention_vjp(q, k, v, causal=True,
+                                   window_size=cfg.window_size)
 
     if mesh is None:
         return local
@@ -237,15 +251,21 @@ def decode_step(
     replica owns its own pool), so no batch axis here."""
     quantized = k_scales is not None
 
+    # decode windows are trailing-W (k >= pos-W+1) while prefill's mask is
+    # q-k <= W (k >= pos-W): W+1 on the decode side makes them identical
+    dec_window = cfg.window_size + 1 if cfg.window_size > 0 else -1
+
     def _attend_local(q, k, v, kp, vp, ks, vs, bt, lens):
         if quantized:
             kp, vp, ks, vs, lens_out = kv_cache_append_decode_quantized(
                 kp, vp, ks, vs, k, v, bt, lens)
             attn = paged_attention(q, kp, vp, bt, lens_out,
-                                   k_scales=ks, v_scales=vs)
+                                   k_scales=ks, v_scales=vs,
+                                   window_size=dec_window)
         else:
             kp, vp, lens_out = kv_cache_append_decode(kp, vp, k, v, bt, lens)
-            attn = paged_attention(q, kp, vp, bt, lens_out)
+            attn = paged_attention(q, kp, vp, bt, lens_out,
+                                   window_size=dec_window)
             ks = vs = jnp.zeros((), jnp.float32)
         return attn, kp, vp, ks, vs, lens_out
 
@@ -349,6 +369,9 @@ def decode_step_fused(
     )
 
     quantized = kv_scales is not None
+    # see decode_step: +1 aligns the decode kernels' trailing-W window
+    # with the prefill mask's q-k <= W
+    dec_window = cfg.window_size + 1 if cfg.window_size > 0 else -1
     x = params["embed"][token]
     new_kv, new_sc = [], []
     lens_out = context_lens
@@ -373,11 +396,13 @@ def decode_step_fused(
                 kv_scales=kv_scales[li])
             new_sc.append(sc)
             attn = paged_attention_fused(q, kv, block_tables, lens_out,
-                                         kv_scales=sc)
+                                         kv_scales=sc,
+                                         window_size=dec_window)
         else:
             kv, lens_out = kv_cache_append_decode_fused(
                 kv_pages[li], k, v, block_tables, context_lens)
-            attn = paged_attention_fused(q, kv, block_tables, lens_out)
+            attn = paged_attention_fused(q, kv, block_tables, lens_out,
+                                         window_size=dec_window)
         new_kv.append(kv)
         x = x + attn.reshape(-1, cfg.n_heads * cfg.head_dim) @ layer["wo"]
 
@@ -437,13 +462,13 @@ def prefill_step_fused(
             new_sc.append(sc)
             attn = paged_attention_prefill(
                 q, kv, block_tables, lens_out, q_offsets=q_offsets,
-                causal=True, kv_scales=sc)
+                causal=True, window_size=cfg.window_size, kv_scales=sc)
         else:
             kv, lens_out = kv_cache_append_prefill_fused(
                 kv_pages[li], k, v, block_tables, q_offsets, seq_lens)
             attn = paged_attention_prefill(
                 q, kv, block_tables, lens_out, q_offsets=q_offsets,
-                causal=True)
+                causal=True, window_size=cfg.window_size)
         new_kv.append(kv)
         x = x + _merge_heads(attn) @ layer["wo"]
 

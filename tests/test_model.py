@@ -165,3 +165,32 @@ def test_engine_tensor_parallel(params):
         done = eng.run()
         outs[mesh is None] = [r.output for r in done]
     assert outs[True] == outs[False], (outs[True], outs[False])
+
+
+def test_mistral_window_decode_matches_forward():
+    """Sliding-window config (Mistral-style): engine generation ==
+    full-forward oracle, and chunked prefill == whole-prompt prefill —
+    validates the window conventions agree across the flash, paged-decode
+    and paged-prefill kernels."""
+    cfg = llama.LlamaConfig.tiny(window_size=24)
+    params = llama.init_params(cfg, jax.random.key(2))
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, 256, size=40).astype(np.int32)
+    steps = 6
+
+    seq = list(prompt)
+    oracle = []
+    for _ in range(steps):
+        logits = llama.forward(
+            params, jnp.asarray(np.asarray(seq)[None], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, len(seq) - 1]))
+        oracle.append(nxt)
+        seq.append(nxt)
+
+    for chunk in (None, 16):
+        eng = ServingEngine(params, cfg, max_batch=2, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256, prefill_chunk=chunk)
+        eng.submit(prompt, max_new_tokens=steps)
+        out = eng.run()[0].output
+        assert out == oracle, (chunk, out, oracle)
