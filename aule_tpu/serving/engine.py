@@ -433,3 +433,81 @@ class ServingEngine:
         self.slots[slot] = None
         self.slot_pages[slot] = []
         self.slot_lens[slot] = 0
+
+
+# -- checkpoint / resume ----------------------------------------------------
+# (the reference has none at all — SURVEY.md §5; serving needs to survive
+# preemption with its KV cache and request state intact)
+
+def save_engine_state(eng: "ServingEngine", path: str) -> None:
+    """Persist pools + request/slot bookkeeping; params are NOT saved
+    (checkpoint them separately with utils.checkpoint.save_pytree)."""
+    import json
+    import os
+
+    from ..utils.checkpoint import save_pytree
+
+    device_state = {
+        "k_pages": eng.k_pages, "v_pages": eng.v_pages,
+        "k_scales": eng.k_scales, "v_scales": eng.v_scales,
+    }
+    save_pytree(path + ".pools", device_state)
+
+    def req(r):
+        return None if r is None else {
+            "req_id": r.req_id, "prompt": np.asarray(r.prompt).tolist(),
+            "max_new_tokens": r.max_new_tokens, "eos_id": r.eos_id,
+            "output": list(r.output)}
+
+    host = {
+        "slots": [req(r) for r in eng.slots],
+        "slot_pages": eng.slot_pages,
+        "slot_lens": eng.slot_lens.tolist(),
+        "waiting": [req(r) for r in eng.waiting],
+        "finished": [req(r) for r in eng.finished],
+        "next_id": eng._next_id,
+        "free_pages": sorted(eng.allocator.free_list()),
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path + ".state.json", "w") as f:
+        json.dump(host, f)
+
+
+def load_engine_state(eng: "ServingEngine", path: str) -> None:
+    """Restore state saved by save_engine_state into a freshly constructed
+    engine (same config/shapes)."""
+    import json
+
+    from ..utils.checkpoint import load_pytree
+
+    template = {
+        "k_pages": eng.k_pages, "v_pages": eng.v_pages,
+        "k_scales": eng.k_scales, "v_scales": eng.v_scales,
+    }
+    state = load_pytree(path + ".pools", template)
+    eng.k_pages = jnp.asarray(state["k_pages"])
+    if state["v_pages"] is not None:
+        eng.v_pages = jnp.asarray(state["v_pages"])
+    if state["k_scales"] is not None:
+        eng.k_scales = jnp.asarray(state["k_scales"])
+    if state["v_scales"] is not None:
+        eng.v_scales = jnp.asarray(state["v_scales"])
+
+    with open(path + ".state.json") as f:
+        host = json.load(f)
+
+    def req(d):
+        if d is None:
+            return None
+        r = Request(d["req_id"], np.asarray(d["prompt"], np.int32),
+                    d["max_new_tokens"], d["eos_id"])
+        r.output.extend(d["output"])
+        return r
+
+    eng.slots = [req(d) for d in host["slots"]]
+    eng.slot_pages = [list(p) for p in host["slot_pages"]]
+    eng.slot_lens = np.asarray(host["slot_lens"], np.int32)
+    eng.waiting = [req(d) for d in host["waiting"]]
+    eng.finished = [req(d) for d in host["finished"]]
+    eng._next_id = host["next_id"]
+    eng.allocator.set_free_list(host["free_pages"])

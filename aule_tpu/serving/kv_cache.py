@@ -59,6 +59,12 @@ class PythonPageAllocator:
         self._free.extend(range(new_num_pages - 1, self.num_pages - 1, -1))
         self.num_pages = new_num_pages
 
+    def free_list(self) -> List[int]:
+        return list(self._free)
+
+    def set_free_list(self, pages: List[int]) -> None:
+        self._free = list(pages)
+
 
 def make_allocator(num_pages: int):
     """Prefer the native C++ allocator, fall back to Python."""

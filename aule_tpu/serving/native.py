@@ -69,6 +69,12 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.aule_alloc_allocate.restype = c.c_int32
     lib.aule_alloc_free.argtypes = [c.c_void_p, c.c_int32,
                                     c.POINTER(c.c_int32)]
+    lib.aule_alloc_get_free.argtypes = [c.c_void_p,
+                                        c.POINTER(c.c_int32)]
+    lib.aule_alloc_get_free.restype = None
+    lib.aule_alloc_set_free.argtypes = [c.c_void_p, c.c_int32,
+                                        c.POINTER(c.c_int32)]
+    lib.aule_alloc_set_free.restype = None
     lib.aule_alloc_grow.argtypes = [c.c_void_p, c.c_int32]
     lib.aule_alloc_grow.restype = c.c_int32
     lib.aule_seqs_create.argtypes = [c.c_void_p, c.c_int32, c.c_int32]
@@ -134,6 +140,18 @@ class NativePageAllocator:
         rc = self._lib.aule_alloc_grow(self._h, new_num_pages)
         if rc != 0:
             raise ValueError("grow target below current pool size")
+
+    def free_list(self) -> List[int]:
+        out = np.empty((self.num_free,), np.int32)
+        self._lib.aule_alloc_get_free(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out.tolist()
+
+    def set_free_list(self, pages: List[int]) -> None:
+        arr = np.asarray(pages, np.int32)
+        self._lib.aule_alloc_set_free(
+            self._h, len(pages),
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
 
 
 class NativeSequenceManager:

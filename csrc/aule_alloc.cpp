@@ -16,6 +16,7 @@
 //   * grow() preserves allocations and appends new pages;
 //   * allocate() fails atomically (no partial allocation) when short.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -76,6 +77,19 @@ int32_t aule_alloc_allocate(void* h, int32_t n, int32_t* out_pages) {
 void aule_alloc_free(void* h, int32_t n, const int32_t* pages) {
   auto* a = static_cast<Allocator*>(h);
   a->free_list.insert(a->free_list.end(), pages, pages + n);
+}
+
+// Copy the free list into out (caller sizes it via aule_alloc_num_free);
+// used by serving checkpoint/resume.
+void aule_alloc_get_free(void* h, int32_t* out) {
+  auto* a = static_cast<Allocator*>(h);
+  std::copy(a->free_list.begin(), a->free_list.end(), out);
+}
+
+// Replace the free list wholesale (checkpoint restore).
+void aule_alloc_set_free(void* h, int32_t n, const int32_t* pages) {
+  auto* a = static_cast<Allocator*>(h);
+  a->free_list.assign(pages, pages + n);
 }
 
 // Grow to new_num_pages (must be >= current); new pages become free.
