@@ -350,6 +350,7 @@ def paged_attention_fused(
 
     ppcb = (pages_per_compute_block
             or get_tile_config().pages_per_compute_block_fused)
+    ppcb = _cap_ppcb(ppcb, hkv, page_size, d, kv_pages.dtype)
     ppcb = min(ppcb, max_pages)
     if max_pages % ppcb != 0:
         pad = ppcb - max_pages % ppcb
@@ -453,6 +454,19 @@ def paged_attention_fused(
 
 def _pad_group(group: int) -> int:
     return ((group + MIN_GROUP_PAD - 1) // MIN_GROUP_PAD) * MIN_GROUP_PAD
+
+
+# double-buffered KV staging budget; the ~16 MiB scoped-VMEM limit also
+# holds q/acc/stats/scale buffers and the compiler's own scratch
+_KV_BUF_BUDGET = 8 * 1024 * 1024
+
+
+def _cap_ppcb(ppcb: int, hkv: int, page_size: int, d: int, dtype) -> int:
+    """Cap pages-per-compute-block so 2 staging slots fit the budget —
+    the tuned default (32) assumes bf16 GQA-8 D=128 slabs; MHA/f32/long
+    pages scale the slab up by 8x+ and must shrink the block."""
+    slab = 2 * hkv * page_size * d * jnp.dtype(dtype).itemsize
+    return max(1, min(ppcb, _KV_BUF_BUDGET // (2 * slab)))
 
 
 def _scale_scatter_coords(hkv, page_size, slot):
@@ -782,6 +796,7 @@ def paged_attention_prefill(
 
     ppcb = (pages_per_compute_block
             or get_tile_config().pages_per_compute_block_fused)
+    ppcb = _cap_ppcb(ppcb, hkv, page_size, d, kv_pages.dtype)
     ppcb = min(ppcb, max_pages)
     if max_pages % ppcb != 0:
         pad = ppcb - max_pages % ppcb
