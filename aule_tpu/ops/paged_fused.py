@@ -135,6 +135,56 @@ def from_fused_layout(kv_pages, head_dim: Optional[int] = None):
             jnp.swapaxes(kv_pages[:, 1], 0, 1))
 
 
+def _page_dma_helpers(b, ppcb, quantized, kv_hbm, sc_hbm, bt_ref,
+                      cont_ref, kv_buf, sc_buf, kv_sem, sc_sem):
+    """(start_dma, wait_dma) closures shared by the decode and prefill
+    kernels.
+
+    Contiguous-run coalescing: the page allocator hands out LIFO runs, so
+    a compute block's ppcb pages are usually physically consecutive — one
+    big DMA instead of ppcb small ones.  Both start paths move the same
+    bytes through the same semaphore, so the single big-descriptor wait
+    matches either.
+    """
+
+    def start_dma(block_idx, slot):
+        contiguous = cont_ref[b, block_idx] == 1
+        start_page = jnp.maximum(bt_ref[b, block_idx * ppcb], 0)
+
+        @pl.when(contiguous)
+        def _one_dma():
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(start_page, ppcb)], kv_buf.at[slot],
+                kv_sem.at[slot]).start()
+            if quantized:
+                pltpu.make_async_copy(
+                    sc_hbm.at[pl.ds(start_page, ppcb)], sc_buf.at[slot],
+                    sc_sem.at[slot]).start()
+
+        @pl.when(jnp.logical_not(contiguous))
+        def _per_page():
+            for p in range(ppcb):
+                page_id = jnp.maximum(bt_ref[b, block_idx * ppcb + p], 0)
+                pltpu.make_async_copy(
+                    kv_hbm.at[page_id], kv_buf.at[slot, p],
+                    kv_sem.at[slot]).start()
+                if quantized:
+                    pltpu.make_async_copy(
+                        sc_hbm.at[page_id], sc_buf.at[slot, p],
+                        sc_sem.at[slot]).start()
+
+    def wait_dma(slot):
+        pltpu.make_async_copy(
+            kv_hbm.at[pl.ds(0, ppcb)], kv_buf.at[slot],
+            kv_sem.at[slot]).wait()
+        if quantized:
+            pltpu.make_async_copy(
+                sc_hbm.at[pl.ds(0, ppcb)], sc_buf.at[slot],
+                sc_sem.at[slot]).wait()
+
+    return start_dma, wait_dma
+
+
 def _fused_decode_kernel(
     ctx_ref, bt_ref, cont_ref,        # scalar prefetch
     q_ref,                            # [1, HkvGp, D] VMEM
@@ -167,49 +217,9 @@ def _fused_decode_kernel(
     tokens_per_block = page_size * ppcb
     n_live = pl.cdiv(length, tokens_per_block)
 
-    def start_dma(block_idx, slot):
-        # Contiguous-run coalescing: the page allocator hands out LIFO
-        # runs, so a compute block's ppcb pages are usually physically
-        # consecutive — one big DMA instead of ppcb small ones.  Both
-        # paths move the same bytes through the same semaphore, so the
-        # single big-descriptor wait below matches either.
-        contiguous = cont_ref[b, block_idx] == 1
-        start_page = jnp.maximum(bt_ref[b, block_idx * ppcb], 0)
-
-        @pl.when(contiguous)
-        def _one_dma():
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(start_page, ppcb)], kv_buf.at[slot],
-                kv_sem.at[slot]
-            ).start()
-            if quantized:
-                pltpu.make_async_copy(
-                    sc_hbm.at[pl.ds(start_page, ppcb)], sc_buf.at[slot],
-                    sc_sem.at[slot]
-                ).start()
-
-        @pl.when(jnp.logical_not(contiguous))
-        def _per_page():
-            for p in range(ppcb):
-                page_id = jnp.maximum(bt_ref[b, block_idx * ppcb + p], 0)
-                pltpu.make_async_copy(
-                    kv_hbm.at[page_id], kv_buf.at[slot, p], kv_sem.at[slot]
-                ).start()
-                if quantized:
-                    pltpu.make_async_copy(
-                        sc_hbm.at[page_id], sc_buf.at[slot, p],
-                        sc_sem.at[slot]
-                    ).start()
-
-    def wait_dma(slot):
-        # one wait for the whole block's bytes (matches either start path)
-        pltpu.make_async_copy(
-            kv_hbm.at[pl.ds(0, ppcb)], kv_buf.at[slot], kv_sem.at[slot]
-        ).wait()
-        if quantized:
-            pltpu.make_async_copy(
-                sc_hbm.at[pl.ds(0, ppcb)], sc_buf.at[slot], sc_sem.at[slot]
-            ).wait()
+    start_dma, wait_dma = _page_dma_helpers(
+        b, ppcb, quantized, kv_hbm, sc_hbm, bt_ref, cont_ref,
+        kv_buf, sc_buf, kv_sem, sc_sem)
 
     @pl.when(i == 0)
     def _init():
@@ -611,40 +621,9 @@ def _fused_prefill_kernel(
         first_vis = jnp.maximum(q_off + qi * block_q - window, 0)
         lo_block = first_vis // tokens_per_block
 
-    def start_dma(block_idx, slot):
-        contiguous = cont_ref[b, block_idx] == 1
-        start_page = jnp.maximum(bt_ref[b, block_idx * ppcb], 0)
-
-        @pl.when(contiguous)
-        def _one_dma():
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(start_page, ppcb)], kv_buf.at[slot],
-                kv_sem.at[slot]).start()
-            if quantized:
-                pltpu.make_async_copy(
-                    sc_hbm.at[pl.ds(start_page, ppcb)], sc_buf.at[slot],
-                    sc_sem.at[slot]).start()
-
-        @pl.when(jnp.logical_not(contiguous))
-        def _per_page():
-            for p in range(ppcb):
-                page_id = jnp.maximum(bt_ref[b, block_idx * ppcb + p], 0)
-                pltpu.make_async_copy(
-                    kv_hbm.at[page_id], kv_buf.at[slot, p],
-                    kv_sem.at[slot]).start()
-                if quantized:
-                    pltpu.make_async_copy(
-                        sc_hbm.at[page_id], sc_buf.at[slot, p],
-                        sc_sem.at[slot]).start()
-
-    def wait_dma(slot):
-        pltpu.make_async_copy(
-            kv_hbm.at[pl.ds(0, ppcb)], kv_buf.at[slot],
-            kv_sem.at[slot]).wait()
-        if quantized:
-            pltpu.make_async_copy(
-                sc_hbm.at[pl.ds(0, ppcb)], sc_buf.at[slot],
-                sc_sem.at[slot]).wait()
+    start_dma, wait_dma = _page_dma_helpers(
+        b, ppcb, quantized, kv_hbm, sc_hbm, bt_ref, cont_ref,
+        kv_buf, sc_buf, kv_sem, sc_sem)
 
     @pl.when(i == 0)
     def _init():

@@ -7,6 +7,8 @@ logits, fully-masked-row NaN safety.
 """
 
 import jax.numpy as jnp
+import os
+
 import numpy as np
 import pytest
 
@@ -114,7 +116,9 @@ def test_lse_matches_dense_logsumexp():
     mask = np.tril(np.ones((64, 64), bool))
     s = np.where(mask, s, -np.inf)
     want = np.log(np.sum(np.exp(s - s.max(-1, keepdims=True)), -1)) + s.max(-1)
-    assert_close(lse, want, 1e-5, 1e-5, "lse")
+    # compiled XLA transcendentals differ ~1e-5 from NumPy f64 on chip
+    tol = 1e-4 if os.environ.get("AULE_TEST_TPU") == "1" else 1e-5
+    assert_close(lse, want, tol, tol, "lse")
 
 
 def test_rope_reference_rotation():
