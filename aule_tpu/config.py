@@ -38,6 +38,9 @@ class TileConfig:
 
     block_q: int = 256
     block_kv: int = 512
+    # compute sub-chunk within a DMA'd kv tile (None = whole tile);
+    # lets the DMA tile grow without growing the f32 score tile
+    block_kv_compute: Optional[int] = None
     # backward tiles (v5e on-device sweep, S=2048 GQA fwd+bwd:
     # (512,1024) 81 TFLOP/s eff > (512,512) 71 > (256,256) 51)
     block_q_dkv: int = 512
@@ -55,12 +58,21 @@ class TileConfig:
 # causal, on-device fori_loop timing): (1024,1024) 92 TFLOP/s >
 # (512,1024) 78 > (1024,2048) 81 > (512,512) 48; block_q=2048 exceeds
 # the scoped-VMEM limit.
+# Two-level kv blocking (block_kv DMA tile, block_kv_compute chunk):
+# (1024, 4096, c1024) measured 96.8 TFLOP/s vs 93.0 for (1024, 1024)
+# at B4/S4096 bf16; the flash wrapper clamps the DMA tile for f32 /
+# VMEM limits.
 TILE_TABLE = {
-    "default": TileConfig(block_q=1024, block_kv=1024),
-    "v5 lite": TileConfig(block_q=1024, block_kv=1024),
-    "v5e": TileConfig(block_q=1024, block_kv=1024),
-    "v5p": TileConfig(block_q=1024, block_kv=1024),
-    "v6": TileConfig(block_q=1024, block_kv=1024),
+    "default": TileConfig(block_q=1024, block_kv=4096,
+                          block_kv_compute=1024),
+    "v5 lite": TileConfig(block_q=1024, block_kv=4096,
+                          block_kv_compute=1024),
+    "v5e": TileConfig(block_q=1024, block_kv=4096,
+                      block_kv_compute=1024),
+    "v5p": TileConfig(block_q=1024, block_kv=4096,
+                      block_kv_compute=1024),
+    "v6": TileConfig(block_q=1024, block_kv=4096,
+                     block_kv_compute=1024),
 }
 
 

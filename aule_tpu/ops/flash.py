@@ -85,6 +85,7 @@ def _fwd_kernel(
     window: int,
     block_q: int,
     block_kv: int,
+    block_kv_compute: int,
     seq_q: int,
     seq_k: int,
     n_kv: int,
@@ -111,12 +112,6 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    lo, hi = _kv_live_range(
-        i, block_q=block_q, block_kv=block_kv, causal=causal,
-        window=window, seq_k=seq_k, n_kv=n_kv,
-    )
-    should_run = jnp.logical_and(j >= lo, j <= hi)
-
     # f32 inputs need the multi-pass f32 MXU path for reference-grade
     # accuracy (README.md:278-281: <1e-6 vs SDPA); bf16 uses the native
     # single-pass MXU.
@@ -124,41 +119,39 @@ def _fwd_kernel(
                      if q_ref.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
 
-    # Interior tiles (every element attends) skip all mask VPU work; only
-    # boundary tiles pay for iotas/selects.  Same idea as the reference's
-    # two-tier masking (tile-level skip + element masks,
-    # attention_f32_fast.comp:119-155), with a third tier: maskless compute.
-    fully_valid = (j + 1) * block_kv <= seq_k
-    if causal:
-        fully_valid = jnp.logical_and(
-            fully_valid, i * block_q >= (j + 1) * block_kv - 1)
-    if window > 0:
-        fully_valid = jnp.logical_and(
-            fully_valid,
-            ((i + 1) * block_q - 1) - j * block_kv <= window)
-        if not causal:
-            fully_valid = jnp.logical_and(
-                fully_valid,
-                ((j + 1) * block_kv - 1) - i * block_q <= window)
+    # Two-level blocking: the grid/DMA tile is block_kv wide; compute
+    # walks it in block_kv_compute sub-chunks (an in-kernel loop costs
+    # far less than a grid step, so DMA tiles can grow without growing
+    # the f32 score tile).  Skip/interior/edge tiers are decided at
+    # sub-chunk granularity.
+    n_sub = block_kv // block_kv_compute
+    bkvc = block_kv_compute
+    n_kvc = n_kv * n_sub
+    lo_c, hi_c = _kv_live_range(
+        i, block_q=block_q, block_kv=bkvc, causal=causal,
+        window=window, seq_k=seq_k, n_kv=n_kvc,
+    )
     maskless_everywhere = (not causal and window <= 0
-                           and seq_k % block_kv == 0)
+                           and seq_k % bkvc == 0)
 
-    def _body(masked: bool):
+    def _body(masked: bool, c: int, jc):
+        kvo = c * bkvc
         q = q_ref[0, 0]  # [block_q, D], input dtype
-        k = k_ref[0, 0]  # [block_kv, D]
+        k = k_ref[0, 0, kvo:kvo + bkvc]  # [bkvc, D]
         if use_rope:
             q = _apply_rope_tile(
                 q.astype(jnp.float32), cosq_ref[...], sinq_ref[...]
             ).astype(q_ref.dtype)
             k = _apply_rope_tile(
-                k.astype(jnp.float32), cosk_ref[...], sink_ref[...]
+                k.astype(jnp.float32), cosk_ref[kvo:kvo + bkvc],
+                sink_ref[kvo:kvo + bkvc],
             ).astype(k_ref.dtype)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu_precision,
-        )  # [block_q, block_kv] f32, log2-units (q pre-scaled by
+        )  # [block_q, bkvc] f32, log2-units (q pre-scaled by
         #    scale*log2e outside the kernel; exp2 below — the reference's
         #    fast-softmax trick, triton_flash_amd.py:207-213)
 
@@ -167,7 +160,7 @@ def _fwd_kernel(
             rows = jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 0) + i * block_q
             cols = jax.lax.broadcasted_iota(
-                jnp.int32, s.shape, 1) + j * block_kv
+                jnp.int32, s.shape, 1) + jc * bkvc
             mask = cols < seq_k
             if causal:
                 mask = jnp.logical_and(mask, rows >= cols)
@@ -193,7 +186,7 @@ def _fwd_kernel(
         m_scr[...] = m_next
         l_scr[...] = jnp.broadcast_to(l_next[:, :1], l_prev.shape)
 
-        v = v_ref[0, 0]
+        v = v_ref[0, 0, kvo:kvo + bkvc]
         o_curr = jax.lax.dot_general(
             p.astype(v_ref.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -201,19 +194,35 @@ def _fwd_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
 
-    if maskless_everywhere:
-        @pl.when(should_run)
-        def _all():
-            _body(masked=False)
-    else:
-        @pl.when(jnp.logical_and(should_run, fully_valid))
-        def _interior():
-            _body(masked=False)
+    for c in range(n_sub):
+        jc = j * n_sub + c
+        should_run = jnp.logical_and(jc >= lo_c, jc <= hi_c)
+        if maskless_everywhere:
+            @pl.when(should_run)
+            def _all(c=c, jc=jc):
+                _body(False, c, jc)
+        else:
+            fully_valid = (jc + 1) * bkvc <= seq_k
+            if causal:
+                fully_valid = jnp.logical_and(
+                    fully_valid, i * block_q >= (jc + 1) * bkvc - 1)
+            if window > 0:
+                fully_valid = jnp.logical_and(
+                    fully_valid,
+                    ((i + 1) * block_q - 1) - jc * bkvc <= window)
+                if not causal:
+                    fully_valid = jnp.logical_and(
+                        fully_valid,
+                        ((jc + 1) * bkvc - 1) - i * block_q <= window)
 
-        @pl.when(jnp.logical_and(should_run,
-                                 jnp.logical_not(fully_valid)))
-        def _edge():
-            _body(masked=True)
+            @pl.when(jnp.logical_and(should_run, fully_valid))
+            def _interior(c=c, jc=jc):
+                _body(False, c, jc)
+
+            @pl.when(jnp.logical_and(should_run,
+                                     jnp.logical_not(fully_valid)))
+            def _edge(c=c, jc=jc):
+                _body(True, c, jc)
 
     @pl.when(j == n_kv - 1)
     def _store():
@@ -246,6 +255,7 @@ def flash_attention_fwd(
     rope_sin: Optional[jnp.ndarray] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
+    block_kv_compute: Optional[int] = None,
     return_lse: bool = True,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -273,6 +283,22 @@ def flash_attention_fwd(
     bkv = block_kv or min(tiles.block_kv, _round_up(seq_k, 128))
     bq = min(bq, _round_up(seq_q, 8))
     bkv = min(bkv, _round_up(seq_k, 128))
+    bkvc = min(block_kv_compute or tiles.block_kv_compute or bkv, bkv)
+    if bkv % bkvc != 0:
+        bkvc = bkv
+    if (block_q is None and block_kv is None
+            and jnp.dtype(q.dtype).itemsize >= 4):
+        # f32 tiles are 2x bytes and the mask tiers add f32 temporaries;
+        # the bf16-tuned defaults blow the ~16 MiB scoped-VMEM limit.
+        # Chip-validated f32 set (exact vs oracle, fastest of the sweep):
+        bq = min(bq, 512)
+        bkv = min(bkv, _round_up(min(2048, seq_k), 128))
+        bkvc = min(512, bkv)
+        if bkv % bkvc != 0:
+            bkvc = bkv // 2
+            while bkv > bkvc and est(bq, bkv, bkvc) > limit:
+                bkv //= 2
+        bkvc = min(bkvc, bkv)
 
     sq_pad = _round_up(seq_q, bq)
     sk_pad = _round_up(seq_k, bkv)
@@ -344,7 +370,8 @@ def flash_attention_fwd(
     kernel = functools.partial(
         _fwd_kernel,
         scale=float(scale), causal=causal, window=window,
-        block_q=bq, block_kv=bkv, seq_q=seq_q, seq_k=seq_k,
+        block_q=bq, block_kv=bkv, block_kv_compute=bkvc,
+        seq_q=seq_q, seq_k=seq_k,
         n_kv=n_kv, use_rope=use_rope, return_lse=return_lse,
     )
 
