@@ -8,13 +8,20 @@ with *block-level skipping*, fused half-split RoPE on Q and K, NaN-safe
 fully-masked rows, and an LSE output for training.
 
 TPU mapping decisions (vs the reference's GPU design):
-  * grid = (batch, q_heads, q_blocks, kv_blocks); kv dim is the online
-    softmax reduction ("arbitrary"), the rest are "parallel" for megacore.
+  * grid = (batch, kv_heads, q_blocks, kv_blocks): one grid step processes
+    the WHOLE GQA head group (group * block_q query rows, flattened onto
+    sublanes) against a single K/V tile residency, so K/V HBM traffic is
+    `group`x lower than the reference's per-q-head mapping
+    (triton_flash.py:96-101 re-reads K/V per q head).  The kv dim is the
+    online-softmax reduction ("arbitrary"), the rest are "parallel".
   * Block skipping is done twice: compute is skipped with @pl.when, and the
     K/V *DMA* is skipped by clamping the kv index map into the live range
     for the current q block — Pallas elides a DMA when the block index
     repeats, so masked-out tiles cost neither FLOPs nor bandwidth (the
     analog of attention_f32_fast.comp:119-155's first/last_kv_block calc).
+  * Two-level kv blocking: the DMA tile (block_kv) is walked in
+    block_kv_compute sub-chunks so the f32 score tile stays small while
+    DMAs stay large.
   * Softmax stats live in VMEM scratch replicated over 128 lanes; matmuls
     accumulate in f32 via preferred_element_type regardless of input dtype.
 """
@@ -83,6 +90,7 @@ def _fwd_kernel(
     scale: float,
     causal: bool,
     window: int,
+    group: int,
     block_q: int,
     block_kv: int,
     block_kv_compute: int,
@@ -105,6 +113,7 @@ def _fwd_kernel(
 
     i = pl.program_id(2)
     j = pl.program_id(3)
+    rows = group * block_q  # flattened (head-in-group, q-position) rows
 
     @pl.when(j == 0)
     def _init():
@@ -126,53 +135,93 @@ def _fwd_kernel(
     # sub-chunk granularity.
     n_sub = block_kv // block_kv_compute
     bkvc = block_kv_compute
-    n_kvc = n_kv * n_sub
-    lo_c, hi_c = _kv_live_range(
-        i, block_q=block_q, block_kv=bkvc, causal=causal,
-        window=window, seq_k=seq_k, n_kv=n_kvc,
-    )
     maskless_everywhere = (not causal and window <= 0
                            and seq_k % bkvc == 0)
 
-    def _body(masked: bool, c: int, jc):
-        kvo = c * bkvc
-        q = q_ref[0, 0]  # [block_q, D], input dtype
-        k = k_ref[0, 0, kvo:kvo + bkvc]  # [bkvc, D]
+    def _tier_conds(kvo: int, width: int):
+        """(live, interior) for the sub-chunk at static in-block offset kvo.
+
+        live = some (row, col) of this q-block x sub-chunk survives the
+        bounds/causal/window masks; interior = ALL survive (maskless tier).
+        Tile-granular form of the reference's block-skip algebra
+        (attention_f32_fast.comp:119-155).
+        """
+        p0 = j * block_kv + kvo          # first kv position (traced)
+        p1 = p0 + width - 1              # last kv position
+        q_lo = i * block_q
+        q_hi = (i + 1) * block_q - 1
+        live = p0 < seq_k
+        interior = p1 < seq_k
+        if causal:
+            live = jnp.logical_and(live, q_hi >= p0)
+            interior = jnp.logical_and(interior, q_lo >= p1)
+        if window > 0:
+            live = jnp.logical_and(live, q_lo - p1 <= window)
+            interior = jnp.logical_and(interior, q_hi - p0 <= window)
+            if not causal:
+                live = jnp.logical_and(live, p0 - q_hi <= window)
+                interior = jnp.logical_and(interior, p1 - q_lo <= window)
+        return live, interior
+
+    def _position_mask_w(col0: int, width: int):
+        """[block_q, width] mask from q/k positions (shared by the group).
+
+        col0 is the static in-(grid)-block column offset; absolute kv
+        position of column c is j*block_kv + col0 + c.
+        """
+        shape = (block_q, width)
+        rows_pos = jax.lax.broadcasted_iota(
+            jnp.int32, shape, 0) + i * block_q
+        cols = (jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                + j * block_kv + col0)
+        mask = cols < seq_k
+        if causal:
+            mask = jnp.logical_and(mask, rows_pos >= cols)
+        if window > 0:
+            mask = jnp.logical_and(mask, rows_pos - cols <= window)
+            if not causal:
+                mask = jnp.logical_and(mask, cols - rows_pos <= window)
+        return mask
+
+    def _body(masked: bool, kvo: int, width: int):
+        q = q_ref[0].reshape(rows, q_ref.shape[-1])  # [rows, D]
+        k = k_ref[0, 0, kvo:kvo + width]  # [width, D]
         if use_rope:
+            cosq = jnp.broadcast_to(
+                cosq_ref[...][None], (group,) + cosq_ref.shape
+            ).reshape(rows, cosq_ref.shape[-1])
+            sinq = jnp.broadcast_to(
+                sinq_ref[...][None], (group,) + sinq_ref.shape
+            ).reshape(rows, sinq_ref.shape[-1])
             q = _apply_rope_tile(
-                q.astype(jnp.float32), cosq_ref[...], sinq_ref[...]
+                q.astype(jnp.float32), cosq, sinq
             ).astype(q_ref.dtype)
             k = _apply_rope_tile(
-                k.astype(jnp.float32), cosk_ref[kvo:kvo + bkvc],
-                sink_ref[kvo:kvo + bkvc],
+                k.astype(jnp.float32), cosk_ref[kvo:kvo + width],
+                sink_ref[kvo:kvo + width],
             ).astype(k_ref.dtype)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu_precision,
-        )  # [block_q, bkvc] f32, log2-units (q pre-scaled by
+        )  # [rows, width] f32, log2-units (q pre-scaled by
         #    scale*log2e outside the kernel; exp2 below — the reference's
         #    fast-softmax trick, triton_flash_amd.py:207-213)
 
         if masked:
-            # element-level mask: bounds + causal + window
-            rows = jax.lax.broadcasted_iota(
-                jnp.int32, s.shape, 0) + i * block_q
-            cols = jax.lax.broadcasted_iota(
-                jnp.int32, s.shape, 1) + jc * bkvc
-            mask = cols < seq_k
-            if causal:
-                mask = jnp.logical_and(mask, rows >= cols)
-            if window > 0:
-                mask = jnp.logical_and(mask, rows - cols <= window)
-                if not causal:
-                    mask = jnp.logical_and(mask, cols - rows <= window)
+            # element-level mask: bounds + causal + window; positions are
+            # identical for every head in the group, so build it once at
+            # [block_q, width] and replicate over the group's sublane rows.
+            mask_pos = _position_mask_w(kvo, width)
+            mask = jnp.broadcast_to(
+                mask_pos[None], (group,) + mask_pos.shape
+            ).reshape(rows, width)
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scr[...]  # [block_q, 128] lane-replicated
+        m_prev = m_scr[...]  # [rows, 128] lane-replicated
         l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
+        m_curr = jnp.max(s, axis=1)[:, None]  # [rows, 1]
         m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
         alpha = jnp.exp2(m_prev - m_next)
 
@@ -186,7 +235,7 @@ def _fwd_kernel(
         m_scr[...] = m_next
         l_scr[...] = jnp.broadcast_to(l_next[:, :1], l_prev.shape)
 
-        v = v_ref[0, 0, kvo:kvo + bkvc]
+        v = v_ref[0, 0, kvo:kvo + width]
         o_curr = jax.lax.dot_general(
             p.astype(v_ref.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -194,41 +243,40 @@ def _fwd_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + o_curr
 
+    # Edge sub-chunk width: chunks crossing a mask edge are re-walked at
+    # finer granularity so the masked-out (wasted) area shrinks from
+    # ~bkvc/2 to ~edge_w/2 columns per q block (at S=4k/bq=256 the
+    # diagonal chunk otherwise adds ~25% extra compute).
+    if maskless_everywhere or bkvc <= 256:
+        edge_w = bkvc
+    else:
+        edge_w = max(w for w in range(8, 257, 8) if bkvc % w == 0)
+
     for c in range(n_sub):
-        jc = j * n_sub + c
-        should_run = jnp.logical_and(jc >= lo_c, jc <= hi_c)
+        kvo = c * bkvc
+        live, interior = _tier_conds(kvo, bkvc)
         if maskless_everywhere:
-            @pl.when(should_run)
-            def _all(c=c, jc=jc):
-                _body(False, c, jc)
-        else:
-            fully_valid = (jc + 1) * bkvc <= seq_k
-            if causal:
-                fully_valid = jnp.logical_and(
-                    fully_valid, i * block_q >= (jc + 1) * bkvc - 1)
-            if window > 0:
-                fully_valid = jnp.logical_and(
-                    fully_valid,
-                    ((i + 1) * block_q - 1) - jc * bkvc <= window)
-                if not causal:
-                    fully_valid = jnp.logical_and(
-                        fully_valid,
-                        ((jc + 1) * bkvc - 1) - i * block_q <= window)
+            @pl.when(live)
+            def _all(kvo=kvo):
+                _body(False, kvo, bkvc)
+            continue
 
-            @pl.when(jnp.logical_and(should_run, fully_valid))
-            def _interior(c=c, jc=jc):
-                _body(False, c, jc)
+        @pl.when(interior)
+        def _interior(kvo=kvo):
+            _body(False, kvo, bkvc)
 
-            @pl.when(jnp.logical_and(should_run,
-                                     jnp.logical_not(fully_valid)))
-            def _edge(c=c, jc=jc):
-                _body(True, c, jc)
+        edge_cond = jnp.logical_and(live, jnp.logical_not(interior))
+        @pl.when(edge_cond)
+        def _edge(kvo=kvo):
+            _body(True, kvo, bkvc)
 
     @pl.when(j == n_kv - 1)
     def _store():
+        d = o_ref.shape[-1]
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(
+            o_ref.dtype).reshape(group, block_q, d)
         if return_lse:
             # LSE lane-replicated to 128 (Mosaic block layout requires
             # the trailing dim be 128); the wrapper slices lane 0.
@@ -240,7 +288,58 @@ def _fwd_kernel(
                 (m + jnp.log2(jnp.where(lv > 0.0, lv, 1.0)))
                 * 0.6931471805599453,
                 DEFAULT_MASK_VALUE)
-            lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+            lse_ref[0] = lse.astype(lse_ref.dtype).reshape(
+                group, block_q, NUM_LANES)
+
+
+def _pick_blocks(
+    seq_q: int,
+    seq_k: int,
+    group: int,
+    itemsize: int,
+    window: int,
+    block_q: Optional[int],
+    block_kv: Optional[int],
+    block_kv_compute: Optional[int],
+) -> Tuple[int, int, int]:
+    """Resolve (per-head block_q, block_kv DMA tile, compute chunk).
+
+    The tuned tile table is expressed as a TOTAL q-row budget per grid
+    step; the per-head block is budget/group so flattened group rows hit
+    the same MXU/VMEM envelope regardless of GQA ratio.  f32 tiles carry
+    2x bytes plus f32 mask temporaries, so they get a halved budget and a
+    clamped DMA tile (chip-validated: bf16 defaults blow scoped VMEM).
+    """
+    tiles = get_tile_config()
+    if block_q is not None:
+        bq = block_q
+    else:
+        rows_budget = tiles.block_q
+        if itemsize >= 4:
+            rows_budget = min(rows_budget, 512)
+        if window > 0:
+            # window live-span per q block is (bq + W) columns: smaller q
+            # blocks turn O(S^2) masked work into O(S*(bq+W)) (the payoff
+            # the reference gets from block skipping, python/README.md:38).
+            rows_budget = min(rows_budget,
+                              max(256, _round_up(window, 8) * 2))
+        bq = max(8, _round_up(rows_budget // group, 8))
+    bq = min(bq, _round_up(seq_q, 8))
+
+    bkv = block_kv or min(tiles.block_kv, _round_up(seq_k, 128))
+    bkv = min(bkv, _round_up(seq_k, 128))
+    if block_kv is None and itemsize >= 4:
+        bkv = min(bkv, _round_up(min(2048, seq_k), 128))
+
+    bkvc = min(block_kv_compute or tiles.block_kv_compute or bkv, bkv)
+    if itemsize >= 4 and block_kv_compute is None:
+        bkvc = min(bkvc, 512)
+    if window > 0 and block_kv_compute is None:
+        bkvc = min(bkvc, 512)
+    if bkv % bkvc != 0:
+        # largest 8-aligned divisor of bkv not exceeding the request
+        bkvc = max(c for c in range(8, bkvc + 1, 8) if bkv % c == 0)
+    return bq, bkv, bkvc
 
 
 def flash_attention_fwd(
@@ -278,27 +377,10 @@ def flash_attention_fwd(
     LOG2E = 1.4426950408889634
     q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
 
-    tiles = get_tile_config()
-    bq = block_q or min(tiles.block_q, _round_up(seq_q, 128))
-    bkv = block_kv or min(tiles.block_kv, _round_up(seq_k, 128))
-    bq = min(bq, _round_up(seq_q, 8))
-    bkv = min(bkv, _round_up(seq_k, 128))
-    bkvc = min(block_kv_compute or tiles.block_kv_compute or bkv, bkv)
-    if bkv % bkvc != 0:
-        bkvc = bkv
-    if (block_q is None and block_kv is None
-            and jnp.dtype(q.dtype).itemsize >= 4):
-        # f32 tiles are 2x bytes and the mask tiers add f32 temporaries;
-        # the bf16-tuned defaults blow the ~16 MiB scoped-VMEM limit.
-        # Chip-validated f32 set (exact vs oracle, fastest of the sweep):
-        bq = min(bq, 512)
-        bkv = min(bkv, _round_up(min(2048, seq_k), 128))
-        bkvc = min(512, bkv)
-        if bkv % bkvc != 0:
-            bkvc = bkv // 2
-            while bkv > bkvc and est(bq, bkv, bkvc) > limit:
-                bkv //= 2
-        bkvc = min(bkvc, bkv)
+    bq, bkv, bkvc = _pick_blocks(
+        seq_q, seq_k, group, jnp.dtype(q.dtype).itemsize, window,
+        block_q, block_kv, block_kv_compute,
+    )
 
     sq_pad = _round_up(seq_q, bq)
     sk_pad = _round_up(seq_k, bkv)
@@ -310,25 +392,25 @@ def flash_attention_fwd(
 
     n_q = sq_pad // bq
     n_kv = sk_pad // bkv
-    grid = (batch, hq, n_q, n_kv)
+    grid = (batch, hkv, n_q, n_kv)
 
     use_rope = rope_cos is not None
     half_d = d // 2
 
-    def kv_index(b, h, i, j):
+    def kv_index(b, hk, i, j):
         lo, hi = _kv_live_range(
             i, block_q=bq, block_kv=bkv, causal=causal, window=window,
             seq_k=seq_k, n_kv=n_kv,
         )
         jc = jnp.clip(j, lo, hi)  # repeated index => DMA elided
-        return (b, h // group, jc, 0)
+        return (b, hk, jc, 0)
 
-    def kv_index_rope(b, h, i, j):
-        b_, h_, jc, z = kv_index(b, h, i, j)
+    def kv_index_rope(b, hk, i, j):
+        b_, h_, jc, z = kv_index(b, hk, i, j)
         return (jc, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, group, bq, d), lambda b, hk, i, j: (b, hk, i, 0)),
         pl.BlockSpec((1, 1, bkv, d), kv_index),
         pl.BlockSpec((1, 1, bkv, d), kv_index),
     ]
@@ -343,33 +425,34 @@ def flash_attention_fwd(
                                constant_values=1.0)
             rope_sin = jnp.pad(rope_sin, ((0, max(pad, 0)), (0, 0)))
         in_specs += [
-            pl.BlockSpec((bq, half_d), lambda b, h, i, j: (i, 0)),
-            pl.BlockSpec((bq, half_d), lambda b, h, i, j: (i, 0)),
+            pl.BlockSpec((bq, half_d), lambda b, hk, i, j: (i, 0)),
+            pl.BlockSpec((bq, half_d), lambda b, hk, i, j: (i, 0)),
             pl.BlockSpec((bkv, half_d), kv_index_rope),
             pl.BlockSpec((bkv, half_d), kv_index_rope),
         ]
         args += [rope_cos, rope_sin, rope_cos, rope_sin]
 
     out_specs = [
-        pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, group, bq, d), lambda b, hk, i, j: (b, hk, i, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((batch, hq, sq_pad, d), q.dtype),
     ]
     if return_lse:
         out_specs.append(pl.BlockSpec(
-            (1, 1, bq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)))
+            (1, group, bq, NUM_LANES), lambda b, hk, i, j: (b, hk, i, 0)))
         out_shape.append(jax.ShapeDtypeStruct(
             (batch, hq, sq_pad, NUM_LANES), jnp.float32))
+    rows = group * bq
     scratch_shapes = [
-        pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # m
-        pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # l
-        pltpu.VMEM((bq, d), jnp.float32),          # acc
+        pltpu.VMEM((rows, NUM_LANES), jnp.float32),  # m
+        pltpu.VMEM((rows, NUM_LANES), jnp.float32),  # l
+        pltpu.VMEM((rows, d), jnp.float32),          # acc
     ]
 
     kernel = functools.partial(
         _fwd_kernel,
-        scale=float(scale), causal=causal, window=window,
+        scale=float(scale), causal=causal, window=window, group=group,
         block_q=bq, block_kv=bkv, block_kv_compute=bkvc,
         seq_q=seq_q, seq_k=seq_k,
         n_kv=n_kv, use_rope=use_rope, return_lse=return_lse,
