@@ -13,17 +13,22 @@ cutting DMA count by 2*Hkv and growing each transfer by the same factor
 the head dimension: every kv head is computed per step via a batched
 dot_general over the resident slab.
 
-Quantized variant: per-token scales ride as ONE f32 tile per page,
-    kv_scales: [num_pages, SCALE_ROWS, 128] f32
-with row `kv*rows_per_kv + (h*page_size + slot)//128`, lane
-`(h*page_size + slot) % 128` (rows_per_kv = ceil(Hkv*page/128); row count
-padded to the f32 sublane tile of 8).  Rationale: Mosaic requires DMA
-slices to be tiling-aligned, so the natural [P, 2, Hkv, page] layout (minor
-dim = page) cannot be sliced per page; one packed (8,128) tile per page is
-the smallest aligned unit — +12.5% bytes over an int8 payload, vs the 400%
-the scale-broadcast-over-head-dim approach pays (cf. jax pallas
-paged_attention_kernel.py's jnp.broadcast_to of scales).  Use
-`pack_fused_scales`/`unpack_fused_scales` to convert.
+Quantized variant: per-token-per-head scales ride as ONE bf16 tile per
+page in TOKEN-MAJOR layout,
+    kv_scales: [num_pages, page_size, 128] bf16
+with row = slot (token within the page) and lane = kv*64 + h (kv: 0=K,
+1=V; requires Hkv <= 64).  Rationale: the kernel consumes scales on the
+SCORE side, not the payload side — K scales multiply the [Hkv, G, tokens]
+score tile (tokens on lanes) and V scales multiply the probability tile —
+so the payload never pays a per-element dequant multiply, and int8 pools
+run both matmuls on the int8 MXU (q and p are quantized per row; the
+INT-FlashAttention pattern, PAPERS.md).  Token-major rows make the
+lane-major factor build legal in Mosaic: the DMA'd [ppcb, page, 128] tile
+sublane-merges to [tokens, 128], ONE 2-D transpose yields [128, tokens]
+(tokens on lanes), and a sublane split/slice peels K and V rows.  Cost:
+one (page,128) bf16 tile per page = +12.5% bytes over an int8 payload.
+Use `pack_fused_scales`/`unpack_fused_scales` to convert from head-major
+[Hkv, P, page] f32 scales.
 
 Layout converters to/from the vLLM-style pools are provided; the serving
 engine uses the fused layout natively.
@@ -65,51 +70,48 @@ def _pad_last(x, to: int):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, to - x.shape[-1])])
 
 
-def rows_per_kv(hkv: int, page_size: int) -> int:
-    """f32-tile rows needed for one kv slot's per-token scales."""
-    return -(-(hkv * page_size) // NUM_LANES)
+# half the scale-tile lanes hold K scales (lane = h), half V (lane = 64+h)
+SCALE_KV_STRIDE = NUM_LANES // 2
+SCALE_DTYPE = jnp.bfloat16
 
 
 def scale_rows(hkv: int, page_size: int) -> int:
-    """Total rows of the packed scale tile (padded to the f32 sublane 8)."""
-    r = 2 * rows_per_kv(hkv, page_size)
-    return -(-r // 8) * 8
+    """Rows of the packed scale tile: token-major, one row per slot."""
+    del hkv
+    return page_size
 
 
 def fused_scales_shape(num_pages: int, hkv: int, page_size: int):
-    return (num_pages, scale_rows(hkv, page_size), NUM_LANES)
+    if hkv > SCALE_KV_STRIDE:
+        raise ValueError(f"fused scale layout supports Hkv <= "
+                         f"{SCALE_KV_STRIDE}, got {hkv}")
+    return (num_pages, page_size, NUM_LANES)
 
 
 def pack_fused_scales(k_scales, v_scales):
-    """Head-major scales [Hkv, P, page] x2 -> packed [P, SCALE_ROWS, 128]."""
+    """Head-major scales [Hkv, P, page] x2 -> packed [P, page, 128] bf16
+    (row = slot, lane = kv*64 + h)."""
     hkv, num_pages, page_size = k_scales.shape
-    rpk = rows_per_kv(hkv, page_size)
-    sr = scale_rows(hkv, page_size)
+    fused_scales_shape(num_pages, hkv, page_size)  # validates hkv
 
-    def rows(s):
-        flat = jnp.swapaxes(s, 0, 1).reshape(num_pages, hkv * page_size)
-        pad = rpk * NUM_LANES - hkv * page_size
-        if pad:
-            flat = jnp.pad(flat, ((0, 0), (0, pad)))
-        return flat.reshape(num_pages, rpk, NUM_LANES)
+    def part(s):
+        lanes = jnp.moveaxis(s, 0, -1)  # [P, page, Hkv]
+        return jnp.pad(lanes, ((0, 0), (0, 0),
+                               (0, SCALE_KV_STRIDE - hkv)))
 
-    packed = jnp.concatenate([rows(k_scales), rows(v_scales)], axis=1)
-    if sr != 2 * rpk:
-        packed = jnp.pad(packed, ((0, 0), (0, sr - 2 * rpk), (0, 0)))
-    return packed
+    return jnp.concatenate(
+        [part(k_scales), part(v_scales)], axis=-1).astype(SCALE_DTYPE)
 
 
 def unpack_fused_scales(packed, hkv: int, page_size: int):
-    """Packed [P, SCALE_ROWS, 128] -> head-major ([Hkv,P,page], [Hkv,P,page])."""
-    num_pages = packed.shape[0]
-    rpk = rows_per_kv(hkv, page_size)
+    """Packed [P, page, 128] -> head-major f32 ([Hkv,P,page], [Hkv,P,page])."""
+    del page_size
 
-    def heads(rows):
-        flat = rows.reshape(num_pages, rpk * NUM_LANES)[:, : hkv * page_size]
-        return jnp.swapaxes(
-            flat.reshape(num_pages, hkv, page_size), 0, 1)
+    def heads(lane0):
+        part = packed[..., lane0:lane0 + hkv].astype(jnp.float32)
+        return jnp.moveaxis(part, -1, 0)
 
-    return heads(packed[:, :rpk]), heads(packed[:, rpk:2 * rpk])
+    return heads(0), heads(SCALE_KV_STRIDE)
 
 
 def to_fused_layout(k_pages, v_pages, k_scales=None, v_scales=None):
@@ -185,9 +187,22 @@ def _page_dma_helpers(b, ppcb, quantized, kv_hbm, sc_hbm, bt_ref,
     return start_dma, wait_dma
 
 
+def _build_factor_tiles(sc_tile, hkv: int, page_size: int, ppcb: int):
+    """Packed [ppcb, page, 128] scale tile -> (kf, vf) [hkv, tokens] f32
+    with tokens on LANES (lane c = page_idx*page_size + slot).
+
+    The only Mosaic-legal route: sublane-merge to [tokens, 128], ONE 2-D
+    lane<->sublane transpose, then sublane split/slice to peel K and V."""
+    tokens = ppcb * page_size
+    x = sc_tile.reshape(tokens, NUM_LANES)
+    t = jnp.swapaxes(x, 0, 1).reshape(2, SCALE_KV_STRIDE, tokens)
+    return (t[0][:hkv].astype(jnp.float32),
+            t[1][:hkv].astype(jnp.float32))
+
+
 def _fused_decode_kernel(
     ctx_ref, bt_ref, cont_ref,        # scalar prefetch
-    q_ref,                            # [1, HkvGp, D] VMEM
+    q_ref,                            # [1, HkvGp, D] VMEM (int8 if int8_path)
     kv_hbm,                           # [P, 2, Hkv, page, D] ANY
     *rest,
     page_size: int,
@@ -198,10 +213,12 @@ def _fused_decode_kernel(
     scale: float,
     window: int,
     quantized: bool,
+    int8_path: bool,
     return_lse: bool,
 ):
     rest = list(rest)
-    sc_hbm = rest.pop(0) if quantized else None  # [P, SR, 128] f32
+    sc_hbm = rest.pop(0) if quantized else None  # [P, page, 128] bf16
+    qf_ref = rest.pop(0) if int8_path else None  # [1, HkvGp, 128] f32
     o_ref = rest.pop(0)
     lse_ref = rest.pop(0) if return_lse else None
     if quantized:
@@ -246,45 +263,43 @@ def _fused_decode_kernel(
                      else jax.lax.Precision.DEFAULT)
         # buf: [ppcb, 2, Hkv, page, D] -> K/V [Hkv, tokens, D]
         buf = kv_buf[slot]
-        if quantized:
-            # Per-token factors from the packed [ppcb, SCALE_ROWS, 128]
-            # tile.  Mosaic rejects lane-splitting reshapes, so the only
-            # legal route is one lane<->sublane transpose per row plus
-            # sublane-only reshapes/permutes (validated on-chip).
-            rpk = rows_per_kv(hkv, page_size)
-
-            def factors(row0):
-                parts = [
-                    jnp.swapaxes(sc_buf[slot][:, row0 + r, :], 0, 1)
-                    for r in range(rpk)
-                ]  # each [128, ppcb]
-                t = (jnp.concatenate(parts, axis=0) if rpk > 1
-                     else parts[0])[: hkv * page_size]
-                t = t.reshape(hkv, page_size, ppcb)
-                return jnp.swapaxes(t, 1, 2)[..., None]  # [hkv,ppcb,page,1]
-
-            # dequantize straight into the compute dtype — the f32
-            # round-trip costs a third payload-sized VPU pass; bf16
-            # factor rounding (~0.2%) is below the int8 noise floor
-            cdt = q_ref.dtype
-            k4 = jnp.swapaxes(buf[:, 0], 0, 1).astype(cdt) \
-                * factors(0).astype(cdt)
-            v4 = jnp.swapaxes(buf[:, 1], 0, 1).astype(cdt) \
-                * factors(rpk).astype(cdt)
-            k = k4.reshape(hkv, tokens_per_block, -1)
-            v = v4.reshape(hkv, tokens_per_block, -1)
-        else:
-            k = jnp.swapaxes(buf[:, 0], 0, 1).reshape(
-                hkv, tokens_per_block, -1)
-            v = jnp.swapaxes(buf[:, 1], 0, 1).reshape(
-                hkv, tokens_per_block, -1)
         q = q_ref[0].reshape(hkv, gp, -1)  # [Hkv, Gp, D]
+        kf = vf = None
+        k = jnp.swapaxes(buf[:, 0], 0, 1).reshape(
+            hkv, tokens_per_block, -1)
+        v = jnp.swapaxes(buf[:, 1], 0, 1).reshape(
+            hkv, tokens_per_block, -1)
+        if quantized:
+            # Scales apply on the SCORE/probability side (tokens on
+            # lanes): the payload never pays a per-element dequant
+            # multiply (the r1 kernel's payload-side dequant was
+            # VPU-bound at ~2 ops/elem and erased the int8 byte win).
+            kf, vf = _build_factor_tiles(
+                sc_buf[slot], hkv, page_size, ppcb)
+            if not int8_path:
+                # fp8 etc: MXU has no fp8 path on v5e — cast payload to
+                # the compute dtype (the unavoidable cost of fp8 here)
+                cdt = q_ref.dtype
+                k = k.astype(cdt)
+                v = v.astype(cdt)
 
-        # batched over kv heads: [Hkv, Gp, tokens]
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=precision,
-        ) * scale
+        if int8_path:
+            # int8 MXU for q.K^T: exact i32 accumulation; per-row q
+            # scale (folded with the softmax scale) rides in qf_ref
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            qf = qf_ref[0][:, :1].reshape(hkv, gp, 1)
+            s = s * qf * kf[:, None, :]
+        else:
+            # batched over kv heads: [Hkv, Gp, tokens]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) * scale
+            if quantized:
+                s = s * kf[:, None, :]
         s = s.reshape(hkv * gp, tokens_per_block)
 
         pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
@@ -305,11 +320,27 @@ def _fused_decode_kernel(
         m_scr[...] = m_next
         l_scr[...] = jnp.broadcast_to(l_next[:, :1], l_prev.shape)
 
-        pv = jax.lax.dot_general(
-            p.reshape(hkv, gp, tokens_per_block).astype(v.dtype), v,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [Hkv, Gp, D]
+        p3 = p.reshape(hkv, gp, tokens_per_block)
+        if quantized:
+            # V scales fold into p (cheap [Hkv,Gp,tokens] multiply);
+            # l above already summed the UNSCALED p
+            p3 = p3 * vf[:, None, :]
+        if int8_path:
+            # quantize p per row for the int8 PV matmul (p >= 0, so
+            # floor(x+0.5) == round and dodges rint lowering)
+            pm = jnp.max(p3, axis=2, keepdims=True)
+            r = jnp.where(pm > 0.0, 127.0 / pm, 0.0)
+            p_i8 = jnp.floor(p3 * r + 0.5).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p_i8, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (pm * (1.0 / 127.0))
+        else:
+            pv = jax.lax.dot_general(
+                p3.astype(v.dtype), v,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # [Hkv, Gp, D]
         acc_scr[...] = acc_scr[...] * alpha[:, :1] \
             + pv.reshape(hkv * gp, -1)
 
@@ -373,6 +404,9 @@ def paged_attention_fused(
         raise ValueError(
             f"kv_scales must be packed {(num_pages, sr, NUM_LANES)} "
             f"(see pack_fused_scales), got {kv_scales.shape}")
+    if quantized:
+        kv_scales = kv_scales.astype(SCALE_DTYPE)
+    int8_path = bool(quantized and kv_pages.dtype == jnp.int8)
 
     # Mosaic has no mixed-dtype matmul: align q to the pool dtype on the
     # unquantized path (q is tiny; the pools are not).
@@ -386,6 +420,21 @@ def paged_attention_fused(
     if gp != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
     qg = qg.reshape(batch, hkv * gp, d)
+
+    out_dtype = q.dtype
+    qf_arr = None
+    if int8_path:
+        # per-row amax quantization of q; the softmax scale folds into
+        # the per-row factor so the kernel's int8 scores need only two
+        # cheap [rows, tokens]-shaped multiplies
+        qf32 = qg.astype(jnp.float32)
+        qabs = jnp.max(jnp.abs(qf32), axis=-1)          # [B, rows]
+        qscale = jnp.where(qabs == 0.0, 1.0, qabs / 127.0)
+        qg = jnp.clip(jnp.round(qf32 / qscale[..., None]), -127, 127
+                      ).astype(jnp.int8)
+        qf_arr = jnp.broadcast_to(
+            (qscale * scale)[..., None],
+            qscale.shape + (NUM_LANES,)).astype(jnp.float32)
 
     if interpret is None:
         interpret = get_config().interpret or (
@@ -407,7 +456,11 @@ def paged_attention_fused(
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(kv_scales)
-        scratch.append(pltpu.VMEM((2, ppcb, sr, NUM_LANES), jnp.float32))
+        if int8_path:
+            in_specs.append(pl.BlockSpec(
+                (1, hkv * gp, NUM_LANES), lambda b, i, *_: (b, 0, 0)))
+            args.append(qf_arr)
+        scratch.append(pltpu.VMEM((2, ppcb, sr, NUM_LANES), SCALE_DTYPE))
         sems.append(pltpu.SemaphoreType.DMA((2,)))
 
     # per-(seq, block) physical-contiguity flags for DMA coalescing
@@ -420,7 +473,7 @@ def paged_attention_fused(
     cont = cont.astype(jnp.int32)
 
     out_specs = [pl.BlockSpec((1, hkv * gp, d), lambda b, i, *_: (b, 0, 0))]
-    out_shape = [jax.ShapeDtypeStruct((batch, hkv * gp, d), q.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((batch, hkv * gp, d), out_dtype)]
     if return_lse:
         out_specs.append(pl.BlockSpec((1, hkv * gp, NUM_LANES),
                                       lambda b, i, *_: (b, 0, 0)))
@@ -439,7 +492,7 @@ def paged_attention_fused(
         _fused_decode_kernel,
         page_size=page_size, ppcb=ppcb, n_blocks=n_blocks,
         hkv=hkv, gp=gp, scale=float(scale), window=window,
-        quantized=quantized, return_lse=return_lse,
+        quantized=quantized, int8_path=int8_path, return_lse=return_lse,
     )
 
     results = pl.pallas_call(
@@ -480,13 +533,15 @@ def _cap_ppcb(ppcb: int, hkv: int, page_size: int, d: int, dtype) -> int:
 
 
 def _scale_scatter_coords(hkv, page_size, slot):
-    """(rows, lanes) [**slot.shape**, 2, Hkv] into a packed scale tile."""
-    rpk = rows_per_kv(hkv, page_size)
+    """(rows, lanes) [**slot.shape**, 2, Hkv] into a token-major scale
+    tile (row = slot, lane = kv*64 + h)."""
+    del page_size
     lead = (1,) * slot.ndim
     kvi = jnp.arange(2).reshape(lead + (2, 1))
     hi = jnp.arange(hkv).reshape(lead + (1, hkv))
-    lane_idx = hi * page_size + slot[..., None, None]
-    return kvi * rpk + lane_idx // NUM_LANES, lane_idx % NUM_LANES
+    rows = jnp.broadcast_to(slot[..., None, None],
+                            slot.shape + (2, hkv))
+    return rows, kvi * SCALE_KV_STRIDE + hi
 
 
 def kv_cache_append_decode_fused(
@@ -513,7 +568,8 @@ def kv_cache_append_decode_fused(
         payload, sc = quantize_kv(new, kv_pages.dtype)  # sc [B, 2, Hkv]
         kv_pages = kv_pages.at[phys, :, :, slot].set(payload)
         rows, lanes = _scale_scatter_coords(hkv, page_size, slot)
-        kv_scales = kv_scales.at[phys[:, None, None], rows, lanes].set(sc)
+        kv_scales = kv_scales.at[phys[:, None, None], rows, lanes].set(
+            sc.astype(kv_scales.dtype))
         return kv_pages, kv_scales, context_lens + 1
     kv_pages = kv_pages.at[phys, :, :, slot].set(new.astype(kv_pages.dtype))
     return kv_pages, context_lens + 1
@@ -557,7 +613,7 @@ def kv_cache_append_prefill_fused(
         idx = (phys_f[:, None, None], rows, lanes)
         old = kv_scales[idx]
         vals = jnp.where(valid_f[:, None, None], sc, old)
-        kv_scales = kv_scales.at[idx].set(vals)
+        kv_scales = kv_scales.at[idx].set(vals.astype(kv_scales.dtype))
         return kv_pages, kv_scales, context_lens + seq_lens
     kv_pages = scatter(kv_pages, new.astype(kv_pages.dtype))
     return kv_pages, context_lens + seq_lens
@@ -651,31 +707,19 @@ def _fused_prefill_kernel(
                      if q_ref.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
         buf = kv_buf[slot]
+        kf = vf = None
+        k = jnp.swapaxes(buf[:, 0], 0, 1).reshape(
+            hkv, tokens_per_block, -1)
+        v = jnp.swapaxes(buf[:, 1], 0, 1).reshape(
+            hkv, tokens_per_block, -1)
         if quantized:
-            rpk = rows_per_kv(hkv, page_size)
-
-            def factors(row0):
-                parts = [
-                    jnp.swapaxes(sc_buf[slot][:, row0 + r, :], 0, 1)
-                    for r in range(rpk)
-                ]
-                t = (jnp.concatenate(parts, axis=0) if rpk > 1
-                     else parts[0])[: hkv * page_size]
-                t = t.reshape(hkv, page_size, ppcb)
-                return jnp.swapaxes(t, 1, 2)[..., None]
-
+            # score/probability-side scales (see _build_factor_tiles):
+            # the payload pays only the dtype cast, no dequant multiply
+            kf, vf = _build_factor_tiles(
+                sc_buf[slot], hkv, page_size, ppcb)
             cdt = q_ref.dtype
-            k4 = jnp.swapaxes(buf[:, 0], 0, 1).astype(cdt) \
-                * factors(0).astype(cdt)
-            v4 = jnp.swapaxes(buf[:, 1], 0, 1).astype(cdt) \
-                * factors(rpk).astype(cdt)
-            k = k4.reshape(hkv, tokens_per_block, -1)
-            v = v4.reshape(hkv, tokens_per_block, -1)
-        else:
-            k = jnp.swapaxes(buf[:, 0], 0, 1).reshape(
-                hkv, tokens_per_block, -1)
-            v = jnp.swapaxes(buf[:, 1], 0, 1).reshape(
-                hkv, tokens_per_block, -1)
+            k = k.astype(cdt)
+            v = v.astype(cdt)
         rows = gp * block_q
         q = q_ref[0].reshape(hkv, rows, -1)
 
@@ -683,6 +727,8 @@ def _fused_prefill_kernel(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=precision,
         ) * scale  # [Hkv, Gp*bq, tokens]
+        if quantized:
+            s = s * kf[:, None, :]
         s = s.reshape(hkv * rows, tokens_per_block)
 
         # positional mask: row r of the s tile is query position
@@ -710,8 +756,11 @@ def _fused_prefill_kernel(
         m_scr[...] = m_next
         l_scr[...] = jnp.broadcast_to(l_next[:, :1], l_prev.shape)
 
+        p3 = p.reshape(hkv, rows, tokens_per_block)
+        if quantized:
+            p3 = p3 * vf[:, None, :]
         pv = jax.lax.dot_general(
-            p.reshape(hkv, rows, tokens_per_block).astype(v.dtype), v,
+            p3.astype(v.dtype), v,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=precision,
         )
@@ -788,6 +837,8 @@ def paged_attention_prefill(
         raise ValueError(
             f"kv_scales must be packed {(num_pages, sr, NUM_LANES)} "
             f"(see pack_fused_scales), got {kv_scales.shape}")
+    if quantized:
+        kv_scales = kv_scales.astype(SCALE_DTYPE)
     if not quantized and q.dtype != kv_pages.dtype:
         q = q.astype(kv_pages.dtype)
 
@@ -827,7 +878,7 @@ def paged_attention_prefill(
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(kv_scales)
-        scratch.append(pltpu.VMEM((2, ppcb, sr, NUM_LANES), jnp.float32))
+        scratch.append(pltpu.VMEM((2, ppcb, sr, NUM_LANES), SCALE_DTYPE))
         sems.append(pltpu.SemaphoreType.DMA((2,)))
 
     bt_blocks = block_tables.reshape(batch, n_blocks, ppcb)

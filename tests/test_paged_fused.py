@@ -92,7 +92,10 @@ def test_fused_quantized():
         kv_scales=sc, pages_per_compute_block=4)
     want = np.asarray(paged_attention_reference(q, k_pages, v_pages, bt, ctx))
     err = np.abs(np.asarray(got) - want).max()
-    assert err < 2e-2, f"fused quantized err {err}"
+    # int8 pools run the full INT-FlashAttention pipeline (int8 q/K
+    # scores and int8 p/V product on the MXU): payload (~0.4%), q (~0.4%)
+    # and p (~0.4%) quantization compound to ~1-2% of output magnitude
+    assert err < 4e-2, f"fused quantized err {err}"
 
 
 def test_fused_append_then_attend():
@@ -212,4 +215,5 @@ def test_paged_prefill_quantized_window():
     want = attention_reference_numpy(
         q, kd[None], vd[None], causal=True, window_size=W)
     err = np.abs(got - np.asarray(want)).max()
-    assert err < 5e-3, f"quantized windowed paged prefill err {err}"
+    # bf16 packed scales add ~2^-8 relative on top of the int8 payload
+    assert err < 1.2e-2, f"quantized windowed paged prefill err {err}"

@@ -237,5 +237,6 @@ def test_sharded_paged_decode_fused_ctx_axis():
             q[b:b + 1, :, None, :],
             np.concatenate(kparts, axis=1)[None],
             np.concatenate(vparts, axis=1)[None])[0, :, 0]
-        assert_close(gotq[b], want, 5e-2, 5e-3,
+        # int8 MXU pipeline (q/p quantized) + bf16 packed scales
+        assert_close(gotq[b], want, 5e-2, 2e-2,
                      f"fused ctx-sharded int8 seq {b}")
