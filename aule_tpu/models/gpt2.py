@@ -169,8 +169,14 @@ def decode_step_fused(
     rope_cos=None,
     rope_sin=None,
     kv_scales: Optional[List[jnp.ndarray]] = None,
+    mesh=None,
+    model_axis: str = "model",
 ):
     """One decode step over fused pools (signature mirrors llama's)."""
+    if mesh is not None:
+        raise NotImplementedError(
+            "gpt2 tensor-parallel serving: future work (MHA head "
+            "sharding needs the fused w_qkv split sharded)")
     from ..ops.paged_fused import (
         kv_cache_append_decode_fused,
         paged_attention_fused,
@@ -220,8 +226,13 @@ def prefill_step_fused(
     rope_cos=None,
     rope_sin=None,
     kv_scales: Optional[List[jnp.ndarray]] = None,
+    mesh=None,
+    model_axis: str = "model",
 ):
     """Chunked prefill over fused pools (signature mirrors llama's)."""
+    if mesh is not None:
+        raise NotImplementedError(
+            "gpt2 tensor-parallel serving: future work")
     from ..ops.paged_fused import (
         kv_cache_append_prefill_fused,
         paged_attention_prefill,

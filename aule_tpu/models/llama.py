@@ -359,10 +359,20 @@ def decode_step_fused(
     rope_cos: jnp.ndarray,
     rope_sin: jnp.ndarray,
     kv_scales: Optional[List[jnp.ndarray]] = None,
+    mesh=None,
+    model_axis: str = "model",
 ):
     """decode_step over fused-layout pools (ops/paged_fused.py) — the
     serving fast path: one DMA per page spanning K+V and all kv heads.
-    Quantizes appended tokens when scale pools are passed."""
+    Quantizes appended tokens when scale pools are passed.
+
+    With `mesh`, the append+attend is a shard_map island with KV heads
+    (and their GQA q-head groups) sharded over `model_axis`: each shard
+    owns a fused pool slice [P, 2, Hkv/tp, page, D] whose pages are fully
+    local, so the kernel runs unchanged per shard — tensor-parallel
+    serving stays on the fused fast path (r1 required the 7.6x-slower
+    split layout).  Quantized scale pools carry tp*128 lanes (see
+    ops/paged_fused.fused_scales_shape)."""
     from ..ops.paged_fused import (
         kv_cache_append_decode_fused,
         paged_attention_fused,
@@ -372,6 +382,34 @@ def decode_step_fused(
     # see decode_step: +1 aligns the decode kernels' trailing-W window
     # with the prefill mask's q-k <= W
     dec_window = cfg.window_size + 1 if cfg.window_size > 0 else -1
+
+    def _attend_local(q, k, v, kvp, sc, bt, lens):
+        if quantized:
+            kvp, sc, lens_out = kv_cache_append_decode_fused(
+                kvp, k, v, bt, lens, kv_scales=sc)
+            attn = paged_attention_fused(q, kvp, bt, lens_out,
+                                         kv_scales=sc,
+                                         window_size=dec_window)
+        else:
+            kvp, lens_out = kv_cache_append_decode_fused(
+                kvp, k, v, bt, lens)
+            attn = paged_attention_fused(q, kvp, bt, lens_out,
+                                         window_size=dec_window)
+        return attn, kvp, sc, lens_out
+
+    if mesh is not None:
+        hspec = P(None, model_axis, None)
+        pool_spec = P(None, None, model_axis, None, None)
+        sc_spec = P(None, None, model_axis) if quantized else P()
+        attend = shard_map(
+            _attend_local, mesh=mesh,
+            in_specs=(hspec, hspec, hspec, pool_spec, sc_spec,
+                      P(None, None), P(None)),
+            out_specs=(hspec, pool_spec, sc_spec, P(None)),
+            check_vma=False)
+    else:
+        attend = _attend_local
+
     x = params["embed"][token]
     new_kv, new_sc = [], []
     lens_out = context_lens
@@ -390,19 +428,12 @@ def decode_step_fused(
             [k[..., :half] * c - k[..., half:] * sn,
              k[..., :half] * sn + k[..., half:] * c], axis=-1).astype(k.dtype)
 
+        sci = (kv_scales[li] if quantized
+               else jnp.zeros((), jnp.float32))
+        attn, kv, sc, lens_out = attend(
+            q, k, v, kv_pages[li], sci, block_tables, context_lens)
         if quantized:
-            kv, sc, lens_out = kv_cache_append_decode_fused(
-                kv_pages[li], k, v, block_tables, context_lens,
-                kv_scales=kv_scales[li])
             new_sc.append(sc)
-            attn = paged_attention_fused(q, kv, block_tables, lens_out,
-                                         kv_scales=sc,
-                                         window_size=dec_window)
-        else:
-            kv, lens_out = kv_cache_append_decode_fused(
-                kv_pages[li], k, v, block_tables, context_lens)
-            attn = paged_attention_fused(q, kv, block_tables, lens_out,
-                                         window_size=dec_window)
         new_kv.append(kv)
         x = x + attn.reshape(-1, cfg.n_heads * cfg.head_dim) @ layer["wo"]
 
@@ -429,12 +460,17 @@ def prefill_step_fused(
     rope_cos: jnp.ndarray,
     rope_sin: jnp.ndarray,
     kv_scales: Optional[List[jnp.ndarray]] = None,
+    mesh=None,
+    model_axis: str = "model",
 ):
     """One CHUNKED-prefill step over fused pools: append the chunk's KV,
     then attend to cache history + chunk via ops/paged_fused.py's
     paged_attention_prefill.  Returns (last_logits [B, V], pools,
     new_lens[, scales]) — logits are for each sequence's LAST valid
     chunk token (the only row serving ever samples).
+
+    With `mesh`, append+attend shard their head dims over `model_axis`
+    (see decode_step_fused).
     """
     from ..ops.paged_fused import (
         kv_cache_append_prefill_fused,
@@ -442,6 +478,35 @@ def prefill_step_fused(
     )
 
     quantized = kv_scales is not None
+
+    def _attend_local(q, k, v, kvp, sc, bt, qoff, slens):
+        if quantized:
+            kvp, sc, lens_out = kv_cache_append_prefill_fused(
+                kvp, k, v, bt, qoff, slens, kv_scales=sc)
+            attn = paged_attention_prefill(
+                q, kvp, bt, lens_out, q_offsets=qoff,
+                causal=True, window_size=cfg.window_size, kv_scales=sc)
+        else:
+            kvp, lens_out = kv_cache_append_prefill_fused(
+                kvp, k, v, bt, qoff, slens)
+            attn = paged_attention_prefill(
+                q, kvp, bt, lens_out, q_offsets=qoff,
+                causal=True, window_size=cfg.window_size)
+        return attn, kvp, sc, lens_out
+
+    if mesh is not None:
+        hspec = P(None, model_axis, None, None)
+        pool_spec = P(None, None, model_axis, None, None)
+        sc_spec = P(None, None, model_axis) if quantized else P()
+        attend = shard_map(
+            _attend_local, mesh=mesh,
+            in_specs=(hspec, hspec, hspec, pool_spec, sc_spec,
+                      P(None, None), P(None), P(None)),
+            out_specs=(hspec, pool_spec, sc_spec, P(None)),
+            check_vma=False)
+    else:
+        attend = _attend_local
+
     b, s_chunk = tokens.shape
     positions = q_offsets[:, None] + jnp.arange(s_chunk, dtype=jnp.int32)
     x = params["embed"][tokens]
@@ -455,20 +520,12 @@ def prefill_step_fused(
         q = apply_rope(q, rope_cos, rope_sin, positions[:, None])
         k = apply_rope(k, rope_cos, rope_sin, positions[:, None])
 
+        sci = (kv_scales[li] if quantized
+               else jnp.zeros((), jnp.float32))
+        attn, kv, sc, lens_out = attend(
+            q, k, v, kv_pages[li], sci, block_tables, q_offsets, seq_lens)
         if quantized:
-            kv, sc, lens_out = kv_cache_append_prefill_fused(
-                kv_pages[li], k, v, block_tables, q_offsets, seq_lens,
-                kv_scales=kv_scales[li])
             new_sc.append(sc)
-            attn = paged_attention_prefill(
-                q, kv, block_tables, lens_out, q_offsets=q_offsets,
-                causal=True, window_size=cfg.window_size, kv_scales=sc)
-        else:
-            kv, lens_out = kv_cache_append_prefill_fused(
-                kv_pages[li], k, v, block_tables, q_offsets, seq_lens)
-            attn = paged_attention_prefill(
-                q, kv, block_tables, lens_out, q_offsets=q_offsets,
-                causal=True, window_size=cfg.window_size)
         new_kv.append(kv)
         x = x + _merge_heads(attn) @ layer["wo"]
 

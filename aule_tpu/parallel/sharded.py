@@ -259,6 +259,7 @@ def make_sharded_paged_attention_fused(
     *,
     scale: Optional[float] = None,
     data_axis: Optional[str] = "data",
+    model_axis: Optional[str] = None,
     ctx_axis: Optional[str] = None,
     quantized: bool = False,
     pages_per_compute_block: Optional[int] = None,
@@ -266,23 +267,25 @@ def make_sharded_paged_attention_fused(
     """Sharded paged decode over FUSED-layout pools (the serving fast path:
     one DMA per page spanning K+V and all kv heads, ops/paged_fused.py).
 
-    Because a fused page interleaves every kv head, the head axis cannot
-    shard — the mesh axes are batch (`data`, continuous batching across
-    hosts) and pages/context (`ctx`, long sequences striped over chips with
-    per-shard block tables + lengths), merged via the cross-shard softmax
-    combine.  Head-sharded deployments use the split-layout
-    make_sharded_paged_attention instead.
+    Mesh axes: batch (`data`, continuous batching across hosts),
+    pages/context (`ctx`, long sequences striped over chips with per-shard
+    block tables + lengths, merged via the cross-shard softmax combine),
+    and kv heads (`model`, tensor parallel): the pool's head dim shards so
+    each shard's pages stay fully-local fused slabs [P, 2, Hkv/tp, page,
+    D] and the kernel runs unchanged per shard.
 
     Shardings:
-      q            [B, Hq, D]              P(data, None, None)
-      kv_pages     [P, 2, Hkv, page, D]    P(ctx, None, None, None, None)
+      q            [B, Hq, D]              P(data, model, None)
+      kv_pages     [P, 2, Hkv, page, D]    P(ctx, None, model, None, None)
       block_tables [B, n_ctx, max_pages]   P(data, ctx, None)
       context_lens [B, n_ctx]              P(data, ctx)
-      kv_scales    [P, SR, 128] (packed)   P(ctx, None, None)   (quantized)
+      kv_scales    [P, page, tp*128]       P(ctx, None, model)  (quantized;
+                   each shard's 128-lane block packs its LOCAL heads —
+                   ops/paged_fused.fused_scales_shape)
     """
     from ..ops.paged_fused import paged_attention_fused
 
-    axes = [a for a in (data_axis, ctx_axis) if a]
+    axes = [a for a in (data_axis, model_axis, ctx_axis) if a]
     for a in axes:
         if a not in mesh.axis_names:
             raise ValueError(f"mesh has no axis {a!r}")
@@ -303,18 +306,18 @@ def make_sharded_paged_attention_fused(
         o, _ = softmax_combine_allreduce(o, lse, ctx_axis)
         return o
 
-    in_specs = [P(data_axis, None, None),
-                P(ctx_axis, None, None, None, None),
+    in_specs = [P(data_axis, model_axis, None),
+                P(ctx_axis, None, model_axis, None, None),
                 P(data_axis, ctx_axis, None),
                 P(data_axis, ctx_axis)]
     if quantized:
-        in_specs.append(P(ctx_axis, None, None))
+        in_specs.append(P(ctx_axis, None, model_axis))
 
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=P(data_axis, None, None),
+        out_specs=P(data_axis, model_axis, None),
         check_vma=False,
     )
     return jax.jit(fn)

@@ -33,6 +33,11 @@ from ..ops.paged_fused import kv_cache_append_prefill_fused
 from ..ops.rope import precompute_rope_frequencies
 from .kv_cache import PagePoolExhausted, PagedKVCache, make_allocator
 
+try:
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
 
 @dataclasses.dataclass
 class Request:
@@ -77,10 +82,12 @@ class ServingEngine:
         layout='split' keeps vLLM-style head-major pools.
 
         mesh: tensor-parallel serving — params and pools shard their
-        head dimensions over `model_axis` (requires layout='split' and
-        n_kv_heads % tp == 0; use a mesh whose data axis is 1 — serving
-        data parallelism is engine-replica-level, each replica owning
-        its own pool and request queue)."""
+        head dimensions over `model_axis` (n_kv_heads % tp == 0; use a
+        mesh whose data axis is 1 — serving data parallelism is
+        engine-replica-level, each replica owning its own pool and
+        request queue).  The fused layout shards the pool's kv-head dim,
+        so each shard's pages stay one-DMA local and TP serving rides
+        the fast kernel (r1 forced the slower split layout here)."""
         self.params = params
         self.cfg = cfg
         # model family module (models/llama.py interface: forward,
@@ -95,11 +102,15 @@ class ServingEngine:
             raise ValueError(f"unknown layout {layout!r}")
         self.layout = layout
         # Tensor-parallel serving: heads (and pools) shard over
-        # `model_axis`; requires the split layout (a fused page
-        # interleaves every kv head).  Serving DATA parallelism is
-        # engine-replica-level by design — each replica owns its pool.
-        if mesh is not None and layout != "split":
-            raise ValueError("mesh serving requires layout='split'")
+        # `model_axis`.  Serving DATA parallelism is engine-replica-level
+        # by design — each replica owns its pool.
+        self.tp = 1
+        if mesh is not None:
+            self.tp = int(mesh.shape[model_axis])
+            if cfg.n_kv_heads % self.tp:
+                raise ValueError(
+                    f"n_kv_heads {cfg.n_kv_heads} not divisible by "
+                    f"tp {self.tp}")
         self.mesh = mesh
         self.model_axis = model_axis
         self.max_seq_len = max_seq_len
@@ -127,8 +138,8 @@ class ServingEngine:
 
             self.k_scales = (jnp.zeros(
                 (cfg.n_layers,) + fused_scales_shape(
-                    num_pages, cfg.n_kv_heads, page_size), SCALE_DTYPE)
-                if quantized else None)
+                    num_pages, cfg.n_kv_heads, page_size, tp=self.tp),
+                SCALE_DTYPE) if quantized else None)
             self.v_scales = None
         else:
             shape = (cfg.n_layers, cfg.n_kv_heads, num_pages, page_size,
@@ -147,15 +158,27 @@ class ServingEngine:
                 params, jax.tree.map(
                     lambda s: NamedSharding(mesh, s), ps,
                     is_leaf=lambda x: isinstance(x, P)))
-            pool_spec = NamedSharding(
-                mesh, P(None, model_axis, None, None, None))
-            self.k_pages = jax.device_put(self.k_pages, pool_spec)
-            self.v_pages = jax.device_put(self.v_pages, pool_spec)
-            if quantized:
-                sc_spec = NamedSharding(
-                    mesh, P(None, model_axis, None, None))
-                self.k_scales = jax.device_put(self.k_scales, sc_spec)
-                self.v_scales = jax.device_put(self.v_scales, sc_spec)
+            if layout == "fused":
+                # [L, P, 2, Hkv, page, D]: kv heads shard; each shard's
+                # pages are fully local fused slabs
+                pool_spec = NamedSharding(
+                    mesh, P(None, None, None, model_axis, None, None))
+                self.k_pages = jax.device_put(self.k_pages, pool_spec)
+                if quantized:
+                    # [L, P, page, tp*128]: lane blocks of 128 per shard
+                    sc_spec = NamedSharding(
+                        mesh, P(None, None, None, model_axis))
+                    self.k_scales = jax.device_put(self.k_scales, sc_spec)
+            else:
+                pool_spec = NamedSharding(
+                    mesh, P(None, model_axis, None, None, None))
+                self.k_pages = jax.device_put(self.k_pages, pool_spec)
+                self.v_pages = jax.device_put(self.v_pages, pool_spec)
+                if quantized:
+                    sc_spec = NamedSharding(
+                        mesh, P(None, model_axis, None, None))
+                    self.k_scales = jax.device_put(self.k_scales, sc_spec)
+                    self.v_scales = jax.device_put(self.v_scales, sc_spec)
 
         self.allocator = make_allocator(num_pages)
         # Reserve page 0 as a scratch sink: empty batch slots carry -1
@@ -278,16 +301,18 @@ class ServingEngine:
             rope_cos=self.rope_cos, rope_sin=self.rope_sin, return_kv=True,
             mesh=self.mesh, model_axis=self.model_axis)
         zero = jnp.zeros((1,), jnp.int32)
+        fused_append = self._fused_prefill_append()
         for li, (k, v) in enumerate(kv):
             if self.layout == "fused":
                 if self.quantized:
-                    kvp, sc, _ = kv_cache_append_prefill_fused(
+                    kvp, sc = fused_append(
                         k_pages[li], k, v, bt_row[None], zero, true_len,
-                        kv_scales=k_scales[li])
+                        k_scales[li])
                     k_scales = k_scales.at[li].set(sc)
                 else:
-                    kvp, _ = kv_cache_append_prefill_fused(
-                        k_pages[li], k, v, bt_row[None], zero, true_len)
+                    kvp, _ = fused_append(
+                        k_pages[li], k, v, bt_row[None], zero, true_len,
+                        jnp.zeros((), jnp.float32))
                 k_pages = k_pages.at[li].set(kvp)
                 continue
             if self.quantized:
@@ -304,6 +329,34 @@ class ServingEngine:
             v_pages = v_pages.at[li].set(vp)
         return logits, k_pages, v_pages, k_scales, v_scales
 
+    def _fused_prefill_append(self):
+        """Fused-pool prefill append; a shard_map island under TP so
+        quantized scales pack with LOCAL head lanes per shard."""
+        quantized = self.quantized
+
+        def local(kvp, k, v, bt, z, tl, sc):
+            if quantized:
+                kvp, sc, _ = kv_cache_append_prefill_fused(
+                    kvp, k, v, bt, z, tl, kv_scales=sc)
+            else:
+                kvp, _ = kv_cache_append_prefill_fused(
+                    kvp, k, v, bt, z, tl)
+            return kvp, sc
+
+        if self.mesh is None:
+            return local
+        from jax.sharding import PartitionSpec as P
+
+        ma = self.model_axis
+        sc_spec = P(None, None, ma) if quantized else P()
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(None, None, ma, None, None),
+                      P(None, ma, None, None), P(None, ma, None, None),
+                      P(None, None), P(None), P(None), sc_spec),
+            out_specs=(P(None, None, ma, None, None), sc_spec),
+            check_vma=False)
+
     def _prefill_chunk_step(self, tokens, q_offset, seq_len, bt_row,
                             k_pages, k_scales):
         """jit'd: one chunk of chunked prefill for one request."""
@@ -313,11 +366,13 @@ class ServingEngine:
             logits, kvs, _, scs = self.model.prefill_step_fused(
                 self.params, tokens, q_offset, seq_len, pools,
                 bt_row[None], self.cfg, self.rope_cos, self.rope_sin,
-                kv_scales=[k_scales[i] for i in range(L)])
+                kv_scales=[k_scales[i] for i in range(L)],
+                mesh=self.mesh, model_axis=self.model_axis)
             return logits, jnp.stack(kvs), jnp.stack(scs)
         logits, kvs, _ = self.model.prefill_step_fused(
             self.params, tokens, q_offset, seq_len, pools,
-            bt_row[None], self.cfg, self.rope_cos, self.rope_sin)
+            bt_row[None], self.cfg, self.rope_cos, self.rope_sin,
+            mesh=self.mesh, model_axis=self.model_axis)
         return logits, jnp.stack(kvs), k_scales
 
     def _run_prefill_chunked(self, slot: int, req: Request) -> None:
@@ -369,12 +424,14 @@ class ServingEngine:
                 logits, kvs, new_lens, scs = self.model.decode_step_fused(
                     self.params, tokens, positions, pools, bt, lens,
                     self.cfg, self.rope_cos, self.rope_sin,
-                    kv_scales=[k_scales[i] for i in range(L)])
+                    kv_scales=[k_scales[i] for i in range(L)],
+                    mesh=self.mesh, model_axis=self.model_axis)
                 return (self.sample(logits), jnp.stack(kvs), v_pages,
                         new_lens, jnp.stack(scs), v_scales)
             logits, kvs, new_lens = self.model.decode_step_fused(
                 self.params, tokens, positions, pools, bt, lens,
-                self.cfg, self.rope_cos, self.rope_sin)
+                self.cfg, self.rope_cos, self.rope_sin,
+                mesh=self.mesh, model_axis=self.model_axis)
             return (self.sample(logits), jnp.stack(kvs), v_pages,
                     new_lens, k_scales, v_scales)
         if self.quantized:

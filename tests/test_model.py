@@ -213,3 +213,28 @@ def test_engine_rejects_empty_prompt(params):
                         num_pages=64, max_pages_per_seq=8, max_seq_len=256)
     with pytest.raises(ValueError, match="empty prompt"):
         eng.submit(np.zeros((0,), np.int32), max_new_tokens=4)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_engine_tensor_parallel_fused(params, quantized):
+    """TP serving on the FUSED fast path (r1 forced layout='split' here):
+    mesh engine generates the same tokens as the single-device fused
+    engine, with head-sharded fused pools and per-shard packed scales."""
+    from aule_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, 256, size=n).astype(np.int32)
+               for n in (7, 13)]
+
+    outs = {}
+    for mesh in (None, make_mesh((1, 2), ("data", "model"),
+                                 devices=jax.devices()[:2])):
+        eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256, layout="fused", mesh=mesh,
+                            quantized=quantized)
+        for p in prompts:
+            eng.submit(p, max_new_tokens=5)
+        done = eng.run()
+        outs[mesh is None] = [r.output for r in done]
+    assert outs[True] == outs[False], (outs[True], outs[False])
