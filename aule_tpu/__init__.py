@@ -71,6 +71,7 @@ def flash_attention(
     rope_cos=None,
     rope_sin=None,
     backend: Optional[str] = None,
+    return_lse: bool = False,
 ):
     """Fused multi-head attention over [batch, heads, seq, head_dim].
 
@@ -87,8 +88,14 @@ def flash_attention(
       rope_cos / rope_sin: optional [S, D/2] tables for fused RoPE on Q & K
         (half-split convention; see ops/rope.py).
       backend: force 'pallas' | 'xla' | 'numpy'; default auto-selects.
+      return_lse: also return the natural-log row log-sum-exp [B, Hq, Sq]
+        (the reference's forward-with-LSE training surface,
+        python/aule/vulkan.py:824-889).  Differentiable in both outputs on
+        the pallas/xla backends (the lse cotangent folds into the
+        backward's delta term, ops/flash_vjp.py).
 
-    Returns an array shaped like q, in q's dtype.
+    Returns an array shaped like q, in q's dtype (or an (out, lse) pair
+    with return_lse=True).
     """
     _validate(q, k, v)
     chosen = select_backend(backend)
@@ -96,6 +103,17 @@ def flash_attention(
         logger.info("flash_attention backend=%s q=%s k=%s", chosen, q.shape, k.shape)
 
     if chosen == "pallas":
+        if return_lse:
+            from .ops.flash_vjp import flash_attention_lse
+            from .ops.rope import apply_rope as _rope
+
+            if rope_cos is not None:
+                q = _rope(q, rope_cos, rope_sin)
+                k = _rope(k, rope_cos, rope_sin)
+            return flash_attention_lse(
+                q, k, v, causal=causal, scale=scale,
+                window_size=window_size,
+            )
         from .ops.flash import flash_attention_pallas
 
         return flash_attention_pallas(
@@ -114,6 +132,7 @@ def flash_attention(
             window_size=window_size,
             rope_cos=rope_cos,
             rope_sin=rope_sin,
+            return_lse=return_lse,
         )
     # numpy fallback
     if rope_cos is not None:
@@ -123,6 +142,7 @@ def flash_attention(
     out = attention_reference_numpy(
         np.asarray(q), np.asarray(k), np.asarray(v),
         causal=causal, scale=scale, window_size=window_size,
+        return_lse=return_lse,
     )
     return out
 

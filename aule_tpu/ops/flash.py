@@ -99,6 +99,7 @@ def _fwd_kernel(
     n_kv: int,
     use_rope: bool,
     return_lse: bool,
+    ragged: bool,
 ):
     refs = list(refs)
     if use_rope:
@@ -137,6 +138,10 @@ def _fwd_kernel(
     bkvc = block_kv_compute
     maskless_everywhere = (not causal and window <= 0
                            and seq_k % bkvc == 0)
+    # perf-diagnosis knob: run edge chunks through the maskless body
+    # (WRONG numerics; isolates mask-VPU cost from tier predication cost)
+    import os as _os
+    force_clean = _os.environ.get("AULE_FLASH_DEBUG_FORCE_CLEAN") == "1"
 
     def _tier_conds(kvo: int, width: int):
         """(live, interior) for the sub-chunk at static in-block offset kvo.
@@ -150,8 +155,10 @@ def _fwd_kernel(
         p1 = p0 + width - 1              # last kv position
         q_lo = i * block_q
         q_hi = (i + 1) * block_q - 1
-        live = p0 < seq_k
-        interior = p1 < seq_k
+        # bounds terms are vacuous when seq_k fills its padded tiles
+        true = jnp.full((), True)
+        live = (p0 < seq_k) if ragged else true
+        interior = (p1 < seq_k) if ragged else true
         if causal:
             live = jnp.logical_and(live, q_hi >= p0)
             interior = jnp.logical_and(interior, q_lo >= p1)
@@ -174,13 +181,18 @@ def _fwd_kernel(
             jnp.int32, shape, 0) + i * block_q
         cols = (jax.lax.broadcasted_iota(jnp.int32, shape, 1)
                 + j * block_kv + col0)
-        mask = cols < seq_k
+        terms = []
+        if ragged:
+            terms.append(cols < seq_k)
         if causal:
-            mask = jnp.logical_and(mask, rows_pos >= cols)
+            terms.append(rows_pos >= cols)
         if window > 0:
-            mask = jnp.logical_and(mask, rows_pos - cols <= window)
+            terms.append(rows_pos - cols <= window)
             if not causal:
-                mask = jnp.logical_and(mask, cols - rows_pos <= window)
+                terms.append(cols - rows_pos <= window)
+        mask = terms[0] if terms else jnp.full(shape, True)
+        for t in terms[1:]:
+            mask = jnp.logical_and(mask, t)
         return mask
 
     def _body(masked: bool, kvo: int, width: int):
@@ -272,7 +284,7 @@ def _fwd_kernel(
         edge_cond = jnp.logical_and(live, jnp.logical_not(interior))
         @pl.when(edge_cond)
         def _edge(kvo=kvo):
-            _body(True, kvo, bkvc)
+            _body(not force_clean, kvo, bkvc)
 
     @pl.when(j == n_kv - 1)
     def _store():
@@ -461,6 +473,7 @@ def flash_attention_fwd(
         block_q=bq, block_kv=bkv, block_kv_compute=bkvc,
         seq_q=seq_q, seq_k=seq_k,
         n_kv=n_kv, use_rope=use_rope, return_lse=return_lse,
+        ragged=(sk_pad != seq_k),
     )
 
     if interpret is None:

@@ -199,7 +199,7 @@ def _dkv_kernel(
 
 
 def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
-              interpret=None):
+              dlse=None, interpret=None):
     batch, hq, seq_q, d = q.shape
     hkv, seq_k = k.shape[1], k.shape[2]
     group = hq // hkv
@@ -212,6 +212,10 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
     sk_pad = _round_up(seq_k, bkv)
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    if dlse is not None:
+        # lse cotangent folds into delta: ds = p*(dp - di) picks up
+        # + p*dlse because d lse / d s = p, i.e. di -> di - dlse
+        di = di - dlse.astype(jnp.float32)
 
     def pad_seq(x, target, axis=2):
         pad = target - x.shape[axis]
@@ -350,6 +354,52 @@ def _flash_core_bwd(causal, scale, window, residuals, do):
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core_lse(q, k, v, causal: bool, scale: float, window: int):
+    return flash_attention_fwd(
+        q, k, v, causal=causal, scale=scale, window_size=window,
+    )
+
+
+def _flash_core_lse_fwd(q, k, v, causal, scale, window):
+    out, lse = flash_attention_fwd(
+        q, k, v, causal=causal, scale=scale, window_size=window,
+    )
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _flash_core_lse_bwd(causal, scale, window, residuals, cts):
+    q, k, v, o, lse = residuals
+    do, dlse = cts
+    dq, dk, dv = _bwd_impl(
+        q, k, v, o, lse, do, causal=causal, scale=scale, window=window,
+        dlse=dlse,
+    )
+    return dq, dk, dv
+
+
+_flash_core_lse.defvjp(_flash_core_lse_fwd, _flash_core_lse_bwd)
+
+
+def flash_attention_lse(
+    q, k, v,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    window_size: int = -1,
+):
+    """Differentiable (out, lse) pair — the training surface the
+    reference exposes as forward-with-LSE + raw backward
+    (/root/reference/python/aule/vulkan.py:824-962, src/lib.zig:639-852).
+    The lse cotangent is honored (folded into the delta term), which is
+    what the cross-shard softmax combine differentiates through
+    (parallel/sharded.py)."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d))
+    window = int(window_size) if window_size and window_size > 0 else -1
+    return _flash_core_lse(q, k, v, bool(causal), float(scale), window)
 
 
 def flash_attention_vjp(

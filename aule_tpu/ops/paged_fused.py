@@ -81,11 +81,16 @@ def scale_rows(hkv: int, page_size: int) -> int:
     return page_size
 
 
-def fused_scales_shape(num_pages: int, hkv: int, page_size: int):
+def fused_scales_shape(num_pages: int, hkv: int, page_size: int,
+                       tp: int = 1):
+    """Packed scale-pool shape.  With tensor parallelism the lane dim is
+    tp*128: sharding the last dim over the model axis hands each shard a
+    [P, page, 128] tile packed with ITS OWN (local) heads at lane
+    kv*64 + h_local — the kernel is tp-agnostic."""
     if hkv > SCALE_KV_STRIDE:
         raise ValueError(f"fused scale layout supports Hkv <= "
                          f"{SCALE_KV_STRIDE}, got {hkv}")
-    return (num_pages, page_size, NUM_LANES)
+    return (num_pages, page_size, tp * NUM_LANES)
 
 
 def pack_fused_scales(k_scales, v_scales):

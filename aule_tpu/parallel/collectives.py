@@ -22,8 +22,13 @@ def softmax_combine_pair(o1, lse1, o2, lse2):
 
     o*: [..., D]; lse*: [...] (log-sum-exp of that shard's scores).
     Returns the exact (o, lse) of the union of the two KV sets.
+
+    Differentiable: the max-shift is stop_gradient'ed — the combine is
+    invariant to the shift, so its true derivative contribution is zero
+    and blocking it keeps autodiff exact (and avoids pmax's missing
+    transpose in the allreduce variant below).
     """
-    lse_max = jnp.maximum(lse1, lse2)
+    lse_max = jax.lax.stop_gradient(jnp.maximum(lse1, lse2))
     w1 = jnp.exp(lse1 - lse_max)
     w2 = jnp.exp(lse2 - lse_max)
     denom = w1 + w2
@@ -40,7 +45,9 @@ def softmax_combine_allreduce(o_partial, lse_partial, axis_name: str):
     full-attention output on every device.  Cost: one pmax + two psum over
     [..., D]-sized data (vs all-gathering the KV shard itself).
     """
-    lse_max = jax.lax.pmax(lse_partial, axis_name)
+    # stop_gradient on the INPUT: pmax has no differentiation rule, and
+    # the shift's true derivative contribution is zero anyway
+    lse_max = jax.lax.pmax(jax.lax.stop_gradient(lse_partial), axis_name)
     w = jnp.exp(lse_partial - lse_max)
     denom = jax.lax.psum(w, axis_name)
     safe = jnp.where(denom == 0.0, 1.0, denom)

@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.flash import DEFAULT_MASK_VALUE, flash_attention_fwd
-from ..ops.flash_vjp import flash_attention_vjp
+from ..ops.flash_vjp import flash_attention_lse, flash_attention_vjp
 from ..ops.paged import paged_attention
 from .collectives import softmax_combine_allreduce, softmax_combine_pair
 
@@ -88,13 +88,21 @@ def make_context_parallel_attention(
     Q is replicated along ctx; each chip computes a partial (o, lse) over
     its KV shard and the results merge via pmax+psum — O(D) bytes exchanged
     per query instead of the KV shard (boom guide §15, approach 2).
-    Differentiable (psum/pmax and the flash core are differentiable).
+
+    Differentiable end-to-end: the local core is the custom_vjp
+    (out, lse) flash op — its backward folds the lse cotangent into the
+    delta term — and the combine's psum is linear (the pmax shift is
+    stop_gradient'ed, exact because the combine is shift-invariant).
+    dq merges across shards through the combine's psum transpose; dk/dv
+    stay local to each shard, which is exactly the context-parallel
+    backward dataflow.
     """
 
     def local_fn(q, k, v):
-        o, lse = flash_attention_fwd(q, k, v, causal=False, scale=scale)
-        o, _ = softmax_combine_allreduce(o, lse, ctx_axis)
-        return o
+        o, lse = flash_attention_lse(q, k, v, causal=False, scale=scale)
+        o, _ = softmax_combine_allreduce(
+            o.astype(jnp.float32), lse, ctx_axis)
+        return o.astype(q.dtype)
 
     fn = shard_map(
         local_fn,
@@ -129,11 +137,11 @@ def _ring_attention_local(q, k, v, *, axis_name: str, causal: bool,
 
     def diag(args):
         q, kc, vc = args
-        return flash_attention_fwd(q, kc, vc, causal=True, scale=scale)
+        return flash_attention_lse(q, kc, vc, causal=True, scale=scale)
 
     def full(args):
         q, kc, vc = args
-        return flash_attention_fwd(q, kc, vc, causal=False, scale=scale)
+        return flash_attention_lse(q, kc, vc, causal=False, scale=scale)
 
     def skip(args):
         q, kc, vc = args
@@ -176,6 +184,11 @@ def make_ring_attention(
     Point-to-point ppermute rotates KV chunks; each hop overlaps the local
     flash kernel.  Total bytes moved equal one all-gather but are hidden
     behind compute when Sq/N is large (boom guide §16).
+
+    Differentiable: each hop's kernel is the custom_vjp (out, lse) flash
+    core, the pairwise combine stop_gradient's its shift (exact —
+    shift-invariant), and scan/ppermute/switch transpose natively; the
+    backward rotates KV cotangents back around the ring.
     """
     local = functools.partial(
         _ring_attention_local, axis_name=ctx_axis, causal=causal,

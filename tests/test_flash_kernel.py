@@ -160,6 +160,30 @@ def test_fwd_gqa_group_window_rope():
     assert_close(got, want, 5e-5, 5e-5, "group-window-rope")
 
 
+@pytest.mark.parametrize("seq,blocks", [
+    (1000, {}),                                   # ragged vs defaults
+    (2048, dict(block_kv=512, block_kv_compute=256)),   # multi-tile walk
+    (512, dict(block_q=64, block_kv=256, block_kv_compute=128)),
+    (384, dict(block_q=256, block_kv=384, block_kv_compute=128)),  # bkvc<bq
+])
+def test_fwd_causal_aligned_walk(seq, blocks):
+    """The causal path walks kv in diagonal-aligned dynamic-offset chunks;
+    pin it against the oracle across tile/chunk geometries."""
+    q, k, v = random_qkv(1, 4, seq, 64, heads_kv=2)
+    got, _ = fwd(q, k, v, causal=True, **blocks)
+    want = attention_reference_numpy(q, k, v, causal=True)
+    assert_close(got, want, *F32_TOL, f"aligned-causal S={seq}")
+
+
+def test_fwd_causal_cross_seq():
+    """Causal with seq_q != seq_k exercises the aligned walk's ragged
+    bounds (cols past seq_k must mask, not read garbage)."""
+    q, k, v = random_qkv(1, 2, 256, 64, seq_k=200)
+    got, _ = fwd(q, k, v, causal=True)
+    want = attention_reference_numpy(q, k, v, causal=True)
+    assert_close(got, want, *F32_TOL, "causal-cross")
+
+
 def test_fwd_float16():
     """float16 inputs (the reference's attention_f16.comp end-to-end path:
     f16 storage, f32 accumulation)."""
