@@ -65,57 +65,115 @@ def _q_live_range(j, *, block_q, block_kv, causal, window, seq_q, n_q):
     return lo, hi
 
 
-def _mask_tile(i, j, block_q, block_kv, *, causal, window, seq_q, seq_k):
+def _bwd_tier_conds(i, j, *, block_q, block_kv, causal, window,
+                    seq_q, seq_k, q_ragged, k_ragged):
+    """(live, interior) for the [block_q x block_kv] tile (i, j).
+
+    Mirrors the forward's tier algebra, plus the q-row bound (backward
+    dK/dV ACCUMULATE, so padded q rows must never contribute)."""
+    p0 = j * block_kv
+    p1 = p0 + block_kv - 1
+    q_lo = i * block_q
+    q_hi = (i + 1) * block_q - 1
+    true = jnp.full((), True)
+    live = (p0 < seq_k) if k_ragged else true
+    interior = (p1 < seq_k) if k_ragged else true
+    if q_ragged:
+        live = jnp.logical_and(live, q_lo < seq_q)
+        interior = jnp.logical_and(interior, q_hi < seq_q)
+    if causal:
+        live = jnp.logical_and(live, q_hi >= p0)
+        interior = jnp.logical_and(interior, q_lo >= p1)
+    if window > 0:
+        live = jnp.logical_and(live, q_lo - p1 <= window)
+        interior = jnp.logical_and(interior, q_hi - p0 <= window)
+        if not causal:
+            live = jnp.logical_and(live, p0 - q_hi <= window)
+            interior = jnp.logical_and(interior, p1 - q_lo <= window)
+    return live, interior
+
+
+def _mask_tile(i, j, block_q, block_kv, *, causal, window, seq_q, seq_k,
+               q_ragged=True, k_ragged=True):
     shape = (block_q, block_kv)
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * block_q
     cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + j * block_kv
-    mask = jnp.logical_and(cols < seq_k, rows < seq_q)
+    terms = []
+    if k_ragged:
+        terms.append(cols < seq_k)
+    if q_ragged:
+        terms.append(rows < seq_q)
     if causal:
-        mask = jnp.logical_and(mask, rows >= cols)
+        terms.append(rows >= cols)
     if window > 0:
-        mask = jnp.logical_and(mask, rows - cols <= window)
+        terms.append(rows - cols <= window)
         if not causal:
-            mask = jnp.logical_and(mask, cols - rows <= window)
+            terms.append(cols - rows <= window)
+    mask = terms[0] if terms else jnp.full(shape, True)
+    for t in terms[1:]:
+        mask = jnp.logical_and(mask, t)
     return mask
+
+
+def _group_mask(mask_pos, group):
+    """Tile a positional [bq, bkv] mask over the group's sublane rows."""
+    if group == 1:
+        return mask_pos
+    return jnp.broadcast_to(
+        mask_pos[None], (group,) + mask_pos.shape
+    ).reshape(group * mask_pos.shape[0], mask_pos.shape[1])
 
 
 def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_acc,
-    *, scale, causal, window, block_q, block_kv, seq_q, seq_k, n_kv,
+    *, scale, causal, window, group, block_q, block_kv, seq_q, seq_k,
+    n_kv, q_ragged, k_ragged,
 ):
+    """dQ: grid (B, Hkv, n_q, n_kv); the whole GQA head group's rows are
+    flattened per K/V residency (K/V HBM traffic / `group`, like the
+    forward), maskless interior tiles, 1-lane stat slices."""
     i = pl.program_id(2)
     j = pl.program_id(3)
+    rows = group * block_q
+    d = q_ref.shape[-1]
 
     @pl.when(j == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    lo, hi = _kv_live_range(
-        i, block_q=block_q, block_kv=block_kv, causal=causal,
-        window=window, seq_k=seq_k, n_kv=n_kv,
-    )
+    live, interior = _bwd_tier_conds(
+        i, j, block_q=block_q, block_kv=block_kv, causal=causal,
+        window=window, seq_q=seq_q, seq_k=seq_k,
+        q_ragged=False, k_ragged=k_ragged)
+    # dq rows beyond seq_q are garbage but get sliced off by the wrapper,
+    # so the q bound never forces a masked tier here (q_ragged=False);
+    # masked COLUMNS do matter (they must not leak into dq).
 
     precision = (jax.lax.Precision.HIGHEST
                  if q_ref.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
 
-    @pl.when(jnp.logical_and(j >= lo, j <= hi))
-    def _compute():
-        q = q_ref[0, 0]
+    def _compute(masked: bool):
+        q = q_ref[0].reshape(rows, d)
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:, :1]
-        di = di_ref[0, 0][:, :1]
+        do = do_ref[0].reshape(rows, d)
+        lse = lse_ref[0].reshape(rows, NUM_LANES)[:, :1]
+        di = di_ref[0].reshape(rows, NUM_LANES)[:, :1]
 
         s2 = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         ) * (scale * LOG2E)  # log2-units; exp2 fast softmax
-        mask = _mask_tile(i, j, block_q, block_kv, causal=causal,
-                          window=window, seq_q=seq_q, seq_k=seq_k)
-        p = jnp.exp2(jnp.where(mask, s2, DEFAULT_MASK_VALUE) - lse * LOG2E)
-        p = jnp.where(mask, p, 0.0)
+        if masked:
+            mask = _group_mask(_mask_tile(
+                i, j, block_q, block_kv, causal=causal, window=window,
+                seq_q=seq_q, seq_k=seq_k, q_ragged=False,
+                k_ragged=k_ragged), group)
+            s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
+        p = jnp.exp2(s2 - lse * LOG2E)
+        if masked:
+            p = jnp.where(mask, p, 0.0)
 
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
@@ -127,54 +185,74 @@ def _dq_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
+    @pl.when(interior)
+    def _interior():
+        _compute(False)
+
+    @pl.when(jnp.logical_and(live, jnp.logical_not(interior)))
+    def _edge():
+        _compute(True)
+
     @pl.when(j == n_kv - 1)
     def _store():
-        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype).reshape(
+            group, block_q, d)
 
 
 def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
     dk_acc, dv_acc,
-    *, scale, causal, window, block_q, block_kv, seq_q, seq_k,
-    n_q, group,
+    *, scale, causal, window, group, block_q, block_kv, seq_q, seq_k,
+    n_q, q_ragged, k_ragged,
 ):
+    """dK/dV: grid (B, Hkv, n_kv, n_q).  The GQA group's q rows flatten
+    into the CONTRACTION dim of both accumulating matmuls (dV += P^T dO,
+    dK += dS^T Q), so the group needs no grid dim and every matmul is
+    `group`x deeper — vs the r1 kernel's per-(group, q-block) passes."""
     j = pl.program_id(2)
-    g = pl.program_id(3)
-    qi = pl.program_id(4)
+    qi = pl.program_id(3)
+    rows = group * block_q
+    d = q_ref.shape[-1]
 
-    @pl.when(jnp.logical_and(g == 0, qi == 0))
+    @pl.when(qi == 0)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    lo, hi = _q_live_range(
-        j, block_q=block_q, block_kv=block_kv, causal=causal,
-        window=window, seq_q=seq_q, n_q=n_q,
-    )
+    live, interior = _bwd_tier_conds(
+        qi, j, block_q=block_q, block_kv=block_kv, causal=causal,
+        window=window, seq_q=seq_q, seq_k=seq_k,
+        q_ragged=q_ragged, k_ragged=False)
+    # dk/dv columns beyond seq_k get sliced off by the wrapper
+    # (k_ragged=False); masked q ROWS must not accumulate (q_ragged).
 
     precision = (jax.lax.Precision.HIGHEST
                  if q_ref.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
 
-    @pl.when(jnp.logical_and(qi >= lo, qi <= hi))
-    def _compute():
-        q = q_ref[0, 0]
+    def _compute(masked: bool):
+        q = q_ref[0].reshape(rows, d)
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:, :1]
-        di = di_ref[0, 0][:, :1]
+        do = do_ref[0].reshape(rows, d)
+        lse = lse_ref[0].reshape(rows, NUM_LANES)[:, :1]
+        di = di_ref[0].reshape(rows, NUM_LANES)[:, :1]
 
         s2 = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        ) * (scale * LOG2E)  # log2-units; exp2 fast softmax
-        mask = _mask_tile(qi, j, block_q, block_kv, causal=causal,
-                          window=window, seq_q=seq_q, seq_k=seq_k)
-        p = jnp.exp2(jnp.where(mask, s2, DEFAULT_MASK_VALUE) - lse * LOG2E)
-        p = jnp.where(mask, p, 0.0)
+        ) * (scale * LOG2E)
+        if masked:
+            mask = _group_mask(_mask_tile(
+                qi, j, block_q, block_kv, causal=causal, window=window,
+                seq_q=seq_q, seq_k=seq_k, q_ragged=q_ragged,
+                k_ragged=False), group)
+            s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
+        p = jnp.exp2(s2 - lse * LOG2E)
+        if masked:
+            p = jnp.where(mask, p, 0.0)
 
-        # dV += P^T @ dO
+        # dV += P^T @ dO  (contraction over group*bq rows)
         dv_acc[...] += jax.lax.dot_general(
             p.astype(do_ref.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -190,9 +268,15 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    last = jnp.logical_and(g == pl.num_programs(3) - 1, qi == n_q - 1)
+    @pl.when(interior)
+    def _interior():
+        _compute(False)
 
-    @pl.when(last)
+    @pl.when(jnp.logical_and(live, jnp.logical_not(interior)))
+    def _edge():
+        _compute(True)
+
+    @pl.when(qi == n_q - 1)
     def _store():
         dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
@@ -205,11 +289,16 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
     group = hq // hkv
 
     tiles = get_tile_config()
-    bq = min(tiles.block_q_dq, _round_up(seq_q, 8))
+    # tile table rows are a TOTAL q-row budget per grid step; per-head
+    # blocks shrink with the GQA group (see flash.py._pick_blocks)
+    bq = max(8, _round_up(tiles.block_q_dq // group, 8))
+    bq = min(bq, _round_up(seq_q, 8))
     bkv = min(tiles.block_kv_dkv, _round_up(seq_k, 128))
 
     sq_pad = _round_up(seq_q, bq)
     sk_pad = _round_up(seq_k, bkv)
+    q_ragged = sq_pad != seq_q
+    k_ragged = sk_pad != seq_k
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     if dlse is not None:
@@ -243,33 +332,39 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
             jax.devices()[0].platform != "tpu"
         )
 
-    # ---- dQ kernel: grid (B, Hq, n_q, n_kv) ----
-    def kv_index(b, h, i, j):
+    rows = group * bq
+
+    # ---- dQ kernel: grid (B, Hkv, n_q, n_kv) — GQA group per K/V ----
+    def kv_index(b, hk, i, j):
         lo, hi = _kv_live_range(
             i, block_q=bq, block_kv=bkv, causal=causal, window=window,
             seq_k=seq_k, n_kv=n_kv,
         )
-        return (b, h // group, jnp.clip(j, lo, hi), 0)
+        return (b, hk, jnp.clip(j, lo, hi), 0)
+
+    def q_spec(width):
+        return pl.BlockSpec((1, group, bq, width),
+                            lambda b, hk, i, j: (b, hk, i, 0))
 
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel, scale=scale, causal=causal, window=window,
-            block_q=bq, block_kv=bkv, seq_q=seq_q, seq_k=seq_k, n_kv=n_kv,
+            group=group, block_q=bq, block_kv=bkv,
+            seq_q=seq_q, seq_k=seq_k, n_kv=n_kv,
+            q_ragged=q_ragged, k_ragged=k_ragged,
         ),
-        grid=(batch, hq, n_q, n_kv),
+        grid=(batch, hkv, n_q, n_kv),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
+            q_spec(d),
             pl.BlockSpec((1, 1, bkv, d), kv_index),
             pl.BlockSpec((1, 1, bkv, d), kv_index),
-            pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, NUM_LANES),
-                         lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, NUM_LANES),
-                         lambda b, h, i, j: (b, h, i, 0)),
+            q_spec(d),
+            q_spec(NUM_LANES),
+            q_spec(NUM_LANES),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
+        out_specs=q_spec(d),
         out_shape=jax.ShapeDtypeStruct((batch, hq, sq_pad, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
@@ -277,39 +372,40 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, dip)
 
-    # ---- dKV kernel: grid (B, Hkv, n_kv, group, n_q) ----
-    def q_index(b, hk, j, g, qi):
-        lo, hi = _q_live_range(
-            j, block_q=bq, block_kv=bkv, causal=causal, window=window,
-            seq_q=seq_q, n_q=n_q,
-        )
-        return (b, hk * group + g, jnp.clip(qi, lo, hi), 0)
-
-    def q_index_vec(b, hk, j, g, qi):
-        return q_index(b, hk, j, g, qi)
+    # ---- dKV kernel: grid (B, Hkv, n_kv, n_q); the group's rows ride
+    # the matmul CONTRACTION dim, so there is no group grid dim ----
+    def q_index(width):
+        def index(b, hk, j, qi):
+            lo, hi = _q_live_range(
+                j, block_q=bq, block_kv=bkv, causal=causal, window=window,
+                seq_q=seq_q, n_q=n_q,
+            )
+            return (b, hk, jnp.clip(qi, lo, hi), 0)
+        return pl.BlockSpec((1, group, bq, width), index)
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_kernel, scale=scale, causal=causal, window=window,
-            block_q=bq, block_kv=bkv, seq_q=seq_q, seq_k=seq_k,
-            n_q=n_q, group=group,
+            group=group, block_q=bq, block_kv=bkv,
+            seq_q=seq_q, seq_k=seq_k, n_q=n_q,
+            q_ragged=q_ragged, k_ragged=k_ragged,
         ),
-        grid=(batch, hkv, n_kv, group, n_q),
+        grid=(batch, hkv, n_kv, n_q),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, d), q_index),
+            q_index(d),
             pl.BlockSpec((1, 1, bkv, d),
-                         lambda b, hk, j, g, qi: (b, hk, j, 0)),
+                         lambda b, hk, j, qi: (b, hk, j, 0)),
             pl.BlockSpec((1, 1, bkv, d),
-                         lambda b, hk, j, g, qi: (b, hk, j, 0)),
-            pl.BlockSpec((1, 1, bq, d), q_index),
-            pl.BlockSpec((1, 1, bq, NUM_LANES), q_index_vec),
-            pl.BlockSpec((1, 1, bq, NUM_LANES), q_index_vec),
+                         lambda b, hk, j, qi: (b, hk, j, 0)),
+            q_index(d),
+            q_index(NUM_LANES),
+            q_index(NUM_LANES),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bkv, d),
-                         lambda b, hk, j, g, qi: (b, hk, j, 0)),
+                         lambda b, hk, j, qi: (b, hk, j, 0)),
             pl.BlockSpec((1, 1, bkv, d),
-                         lambda b, hk, j, g, qi: (b, hk, j, 0)),
+                         lambda b, hk, j, qi: (b, hk, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((batch, hkv, sk_pad, d), k.dtype),
@@ -321,7 +417,7 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary", "arbitrary"),
+                                 "arbitrary"),
         ),
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, dip)

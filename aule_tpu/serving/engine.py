@@ -70,6 +70,7 @@ class ServingEngine:
         max_seq_len: int = 2048,
         sample: Callable[[jnp.ndarray], jnp.ndarray] = None,
         quantized: bool = False,
+        quant_dtype=jnp.int8,
         layout: str = "fused",
         prefill_chunk: Optional[int] = None,
         decode_steps: int = 8,
@@ -126,7 +127,15 @@ class ServingEngine:
             max_seq_len, cfg.head_dim, cfg.rope_base)
         self.sample = sample or (lambda logits: jnp.argmax(logits, -1))
 
-        pool_dtype = jnp.int8 if quantized else cfg.dtype
+        # quant_dtype: int8 (the perf path — int8 MXU matmuls in the fused
+        # kernel) or float8_e4m3fn (supported end-to-end; on v5e fp8 casts
+        # are software-emulated, so int8 is the recommended default)
+        if quantized and jnp.dtype(quant_dtype) not in (
+                jnp.dtype(jnp.int8), jnp.dtype(jnp.float8_e4m3fn)):
+            raise ValueError(f"quant_dtype must be int8 or float8_e4m3fn, "
+                             f"got {quant_dtype}")
+        self.quant_dtype = jnp.dtype(quant_dtype)
+        pool_dtype = self.quant_dtype if quantized else cfg.dtype
         if layout == "fused":
             from ..ops.paged_fused import fused_pool_shape
 

@@ -115,3 +115,33 @@ def test_chunked_prefill_matches_whole(params, quant):
 
     for a, b in zip(outs[None], outs[8]):
         assert a == b, f"chunked prefill diverged: {a} vs {b}"
+
+
+def test_fp8_engine_end_to_end(params):
+    """FP8 (e4m3) KV serving end-to-end: generation completes and the
+    first decode-step token matches the f32-cache engine (prefill logits
+    are full precision).  BASELINE north-star config 5; on v5e fp8 casts
+    are software-emulated so int8 stays the perf default."""
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(0, 256, size=9).astype(np.int32)
+
+    outs = {}
+    for quant_dtype in (None, jnp.float8_e4m3fn):
+        eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256,
+                            quantized=quant_dtype is not None,
+                            quant_dtype=quant_dtype or jnp.int8)
+        eng.submit(prompt, max_new_tokens=5)
+        done = eng.run()
+        assert len(done) == 1
+        assert len(done[0].output) == 5
+        outs[quant_dtype is None] = done[0].output
+    assert outs[True][0] == outs[False][0]
+
+
+def test_fp8_engine_rejects_bad_dtype(params):
+    with pytest.raises(ValueError, match="quant_dtype"):
+        ServingEngine(params, CFG, max_batch=1, page_size=16,
+                      num_pages=32, max_pages_per_seq=4, max_seq_len=64,
+                      quantized=True, quant_dtype=jnp.float16)

@@ -35,8 +35,9 @@ def _build_needle_cache(ctx, hkv, d, page, needle_pos, rng):
     return k_pages, v_pages, bt, lens, needle_dir, needle_value
 
 
+@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn])
 @pytest.mark.parametrize("ctx,window", [(8192, -1), (8192, 4096)])
-def test_needle_quantized_paged(ctx, window):
+def test_needle_quantized_paged(ctx, window, qdtype):
     rng = np.random.default_rng(11)
     hq, hkv, d, page = 4, 2, 64, 16
     needle_pos = ctx - 2048  # inside the window when window=4096
@@ -49,8 +50,8 @@ def test_needle_quantized_paged(ctx, window):
         jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
         jnp.asarray(bt), jnp.asarray(lens), window_size=window))
 
-    kq, ks = quantize_kv(jnp.asarray(k_pages), jnp.int8)
-    vq, vs = quantize_kv(jnp.asarray(v_pages), jnp.int8)
+    kq, ks = quantize_kv(jnp.asarray(k_pages), qdtype)
+    vq, vs = quantize_kv(jnp.asarray(v_pages), qdtype)
     got = np.asarray(paged_attention(
         jnp.asarray(q), kq, vq, jnp.asarray(bt), jnp.asarray(lens),
         k_scales=ks, v_scales=vs, window_size=window))
@@ -60,7 +61,10 @@ def test_needle_quantized_paged(ctx, window):
         cos = float(np.dot(out[0, 0], nval)
                     / (np.linalg.norm(out[0, 0]) * np.linalg.norm(nval)))
         assert cos > 0.9, f"needle lost (cos={cos}, window={window})"
-    assert_close(got, want, 0, 2e-2, f"int8 vs f32 ctx={ctx} window={window}")
+    # e4m3's 3-bit mantissa carries ~4x the int8 step at these magnitudes
+    tol = 2e-2 if qdtype == jnp.int8 else 6e-2
+    assert_close(got, want, 0, tol,
+                 f"{jnp.dtype(qdtype).name} vs f32 ctx={ctx} window={window}")
 
 
 def test_needle_outside_window_is_forgotten():
