@@ -41,11 +41,13 @@ class TileConfig:
     # compute sub-chunk within a DMA'd kv tile (None = whole tile);
     # lets the DMA tile grow without growing the f32 score tile
     block_kv_compute: Optional[int] = None
-    # backward tiles (v5e on-device sweep, S=2048 GQA fwd+bwd:
-    # (512,1024) 81 TFLOP/s eff > (512,512) 71 > (256,256) 51)
-    block_q_dkv: int = 512
+    # backward tiles: q-row budgets are TOTAL rows per grid step (split
+    # across the GQA group, like block_q).  v5e r2 sweep, S=2048 GQA
+    # fwd+bwd: (1024,1024) 99.5 TFLOP/s eff > (1024,512)/(512,2048) ~98
+    # > (512,1024) 93; rows=2048 exceeds scoped VMEM.
+    block_q_dkv: int = 1024
     block_kv_dkv: int = 1024
-    block_q_dq: int = 512
+    block_q_dq: int = 1024
     block_kv_dq: int = 1024
     # paged decode (fused-layout sweep on v5e: ppcb 32 > 16 >> 8;
     # split layout is DMA-issue-bound and flat in ppcb)

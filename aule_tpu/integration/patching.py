@@ -15,6 +15,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 logger = logging.getLogger("aule_tpu")
 
@@ -23,9 +24,14 @@ _original_dpa = None
 _patch_backend: Optional[str] = None
 
 # Global knobs for patched models (reference: patching.py:10-13).
+#   causal: None = honor each call site's own is_causal; True/False =
+#           force (the reference's diffusion-vs-LLM toggle).
+#   backend: forced aule backend for patched models (None = auto).
+# (the reference's dead `use_rope` knob is deliberately not carried over —
+# fused RoPE is a first-class flash_attention argument here.)
 PATCH_CONFIG = {
-    "causal": True,
-    "use_rope": False,
+    "causal": None,
+    "backend": None,
 }
 
 
@@ -107,15 +113,99 @@ def uninstall_sdpa_patch() -> None:
         _original_dpa = None
 
 
-def patch_model(model, causal: Optional[bool] = None):
-    """Patch a Flax/Transformers-style module tree to use aule attention.
+# ---------------------------------------------------------------------------
+# HF torch models: an `aule_tpu` entry in transformers' attention-interface
+# registry.  The reference monkeypatches GPT2Attention.forward only
+# (patching.py:82-100); registering the interface routes EVERY HF torch
+# model whose attention goes through ALL_ATTENTION_FUNCTIONS (the modern
+# seam the per-class forward patch predates).
+# ---------------------------------------------------------------------------
 
-    Reference analog: patching.py:103-128 (GPT-2 forward monkeypatch).  For
-    JAX models we patch at the functional seam instead: any module whose
-    attention goes through jax.nn.dot_product_attention picks up the global
-    patch from install(); this helper flips PATCH_CONFIG and installs.
+_hf_registered = False
+# test/debug visibility: counts calls routed through the aule interface
+PATCH_STATS = {"calls": 0}
+
+
+def _aule_hf_attention(module, query, key, value, attention_mask,
+                       dropout: float = 0.0, scaling=None, is_causal=None,
+                       head_mask=None, **kwargs):
+    """transformers AttentionInterface entry.
+
+    query/key/value: torch [B, H, S, D]; returns (out [B, S, H, D], None).
+    Arguments outside aule's space (additive masks, dropout, head masks)
+    defer to HF's sdpa implementation — the reference's fallback contract
+    (python/aule/__init__.py:319-347).
     """
-    if causal is not None:
-        PATCH_CONFIG["causal"] = causal
-    install_sdpa_patch()
+    import torch
+
+    unsupported = (attention_mask is not None or dropout
+                   or head_mask is not None
+                   or kwargs.get("softcap") is not None)
+    if unsupported:
+        from transformers.integrations.sdpa_attention import (
+            sdpa_attention_forward,
+        )
+
+        return sdpa_attention_forward(
+            module, query, key, value, attention_mask,
+            dropout=dropout, scaling=scaling, is_causal=is_causal,
+            **kwargs)
+
+    causal = PATCH_CONFIG["causal"]
+    if causal is None:
+        if is_causal is None:
+            is_causal = (query.shape[2] > 1
+                         and getattr(module, "is_causal", True))
+        causal = bool(is_causal)
+
+    from .. import flash_attention
+
+    qn, kn, vn = (t.detach().to(torch.float32).cpu().numpy()
+                  for t in (query, key, value))
+    out = flash_attention(
+        qn, kn, vn, causal=causal, scale=scaling,
+        backend=PATCH_CONFIG["backend"] or _patch_backend)
+    PATCH_STATS["calls"] += 1
+    out_t = torch.from_numpy(np.asarray(out)).to(
+        dtype=query.dtype, device=query.device)
+    return out_t.transpose(1, 2).contiguous(), None
+
+
+def _register_hf_interface() -> None:
+    global _hf_registered
+    if _hf_registered:
+        return
+    from transformers.modeling_utils import ALL_ATTENTION_FUNCTIONS
+
+    ALL_ATTENTION_FUNCTIONS.register("aule_tpu", _aule_hf_attention)
+    _hf_registered = True
+
+
+def patch_model(model, causal: Optional[bool] = None,
+                backend: Optional[str] = None):
+    """Route a model's attention through aule kernels.
+
+    * HF torch models (anything with `config._attn_implementation`):
+      registers the `aule_tpu` attention interface and switches the model
+      onto it — every attention layer's q/k/v then flows through
+      `aule_tpu.flash_attention` (reference analog: the GPT2Attention
+      forward monkeypatch, patching.py:103-128, generalized to all
+      architectures via the HF attention registry).
+    * JAX/Flax models: attention reaching jax.nn.dot_product_attention
+      picks up the global SDPA patch (install_sdpa_patch).
+
+    causal: None honors each call site's is_causal; True/False forces it
+    (PATCH_CONFIG["causal"], the reference's diffusion-vs-LLM toggle).
+    """
+    PATCH_CONFIG["causal"] = causal
+    PATCH_CONFIG["backend"] = backend
+    if hasattr(model, "config") and hasattr(model.config,
+                                            "_attn_implementation"):
+        _register_hf_interface()
+        try:
+            model.set_attn_implementation("aule_tpu")
+        except AttributeError:  # older transformers
+            model.config._attn_implementation = "aule_tpu"
+        return model
+    install_sdpa_patch(backend)
     return model

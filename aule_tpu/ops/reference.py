@@ -139,6 +139,7 @@ def attention_reference_numpy(
     scale: Optional[float] = None,
     window_size: int = -1,
     q_offset: int = 0,
+    return_lse: bool = False,
 ) -> np.ndarray:
     """Pure-NumPy oracle, deliberately independent of JAX/XLA.
 
@@ -163,9 +164,13 @@ def attention_reference_numpy(
     p = np.exp(scores - m_safe)
     p = np.where(mask[None, None], p, 0.0)
     l = np.sum(p, axis=-1, keepdims=True)
-    l = np.where(l == 0.0, 1.0, l)
-    out = np.einsum("bhqk,bhkd->bhqd", p / l, v)
-    return out.astype(q.dtype)
+    l_safe = np.where(l == 0.0, 1.0, l)
+    out = np.einsum("bhqk,bhkd->bhqd", p / l_safe, v).astype(q.dtype)
+    if not return_lse:
+        return out
+    lse = np.where(l[..., 0] > 0.0, m_safe[..., 0] + np.log(l_safe[..., 0]),
+                   -0.7 * np.finfo(np.float32).max)
+    return out, lse.astype(np.float32)
 
 
 def paged_attention_reference(

