@@ -100,6 +100,7 @@ def _fwd_kernel(
     use_rope: bool,
     return_lse: bool,
     ragged: bool,
+    pipeline: bool,
 ):
     refs = list(refs)
     if use_rope:
@@ -110,7 +111,11 @@ def _fwd_kernel(
         (q_ref, k_ref, v_ref, o_ref) = refs[:4]
         rest = refs[4:]
     lse_ref = rest.pop(0) if return_lse else None
-    (m_scr, l_scr, acc_scr) = rest
+    if pipeline:
+        (m_scr, l_scr, acc_scr, s_scr) = rest
+    else:
+        (m_scr, l_scr, acc_scr) = rest
+        s_scr = None
 
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -195,7 +200,7 @@ def _fwd_kernel(
             mask = jnp.logical_and(mask, t)
         return mask
 
-    def _body(masked: bool, kvo: int, width: int):
+    def _score(kvo: int, width: int):
         q = q_ref[0].reshape(rows, q_ref.shape[-1])  # [rows, D]
         k = k_ref[0, 0, kvo:kvo + width]  # [width, D]
         if use_rope:
@@ -212,8 +217,7 @@ def _fwd_kernel(
                 k.astype(jnp.float32), cosk_ref[kvo:kvo + width],
                 sink_ref[kvo:kvo + width],
             ).astype(k_ref.dtype)
-
-        s = jax.lax.dot_general(
+        return jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu_precision,
@@ -221,6 +225,7 @@ def _fwd_kernel(
         #    scale*log2e outside the kernel; exp2 below — the reference's
         #    fast-softmax trick, triton_flash_amd.py:207-213)
 
+    def _softmax_update(masked: bool, s, kvo: int, width: int):
         if masked:
             # element-level mask: bounds + causal + window; positions are
             # identical for every head in the group, so build it once at
@@ -259,32 +264,54 @@ def _fwd_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha + o_curr
 
-    # Edge sub-chunk width: chunks crossing a mask edge are re-walked at
-    # finer granularity so the masked-out (wasted) area shrinks from
-    # ~bkvc/2 to ~edge_w/2 columns per q block (at S=4k/bq=256 the
-    # diagonal chunk otherwise adds ~25% extra compute).
-    if maskless_everywhere or bkvc <= 256:
-        edge_w = bkvc
+    def _body(masked: bool, kvo: int, width: int):
+        _softmax_update(masked, _score(kvo, width), kvo, width)
+
+    if pipeline:
+        # Software pipeline: issue chunk c+1's score matmul (MXU) into a
+        # double-buffered VMEM scratch before chunk c's softmax (VPU) so
+        # the units overlap across chunks.
+        conds = [(c * bkvc,) + _tier_conds(c * bkvc, bkvc)
+                 for c in range(n_sub)]
+
+        @pl.when(conds[0][1])
+        def _mm_first():
+            s_scr[0] = _score(conds[0][0], bkvc)
+
+        for c in range(n_sub):
+            kvo, live, interior = conds[c]
+            if c + 1 < n_sub:
+                kvo1, live1, _ = conds[c + 1]
+
+                @pl.when(live1)
+                def _mm_next(kvo1=kvo1, c=c):
+                    s_scr[(c + 1) % 2] = _score(kvo1, bkvc)
+
+            @pl.when(interior)
+            def _interior(c=c, kvo=kvo):
+                _softmax_update(False, s_scr[c % 2], kvo, bkvc)
+
+            @pl.when(jnp.logical_and(live, jnp.logical_not(interior)))
+            def _edge(c=c, kvo=kvo):
+                _softmax_update(not force_clean, s_scr[c % 2], kvo, bkvc)
     else:
-        edge_w = max(w for w in range(8, 257, 8) if bkvc % w == 0)
+        for c in range(n_sub):
+            kvo = c * bkvc
+            live, interior = _tier_conds(kvo, bkvc)
+            if maskless_everywhere:
+                @pl.when(live)
+                def _all(kvo=kvo):
+                    _body(False, kvo, bkvc)
+                continue
 
-    for c in range(n_sub):
-        kvo = c * bkvc
-        live, interior = _tier_conds(kvo, bkvc)
-        if maskless_everywhere:
-            @pl.when(live)
-            def _all(kvo=kvo):
+            @pl.when(interior)
+            def _interior(kvo=kvo):
                 _body(False, kvo, bkvc)
-            continue
 
-        @pl.when(interior)
-        def _interior(kvo=kvo):
-            _body(False, kvo, bkvc)
-
-        edge_cond = jnp.logical_and(live, jnp.logical_not(interior))
-        @pl.when(edge_cond)
-        def _edge(kvo=kvo):
-            _body(not force_clean, kvo, bkvc)
+            edge_cond = jnp.logical_and(live, jnp.logical_not(interior))
+            @pl.when(edge_cond)
+            def _edge(kvo=kvo):
+                _body(not force_clean, kvo, bkvc)
 
     @pl.when(j == n_kv - 1)
     def _store():
@@ -461,11 +488,16 @@ def flash_attention_fwd(
         out_shape.append(jax.ShapeDtypeStruct(
             (batch, hq, sq_pad, NUM_LANES), jnp.float32))
     rows = group * bq
+    import os as _os
+    pipeline = _os.environ.get("AULE_FLASH_PIPELINE") == "1"
     scratch_shapes = [
         pltpu.VMEM((rows, NUM_LANES), jnp.float32),  # m
         pltpu.VMEM((rows, NUM_LANES), jnp.float32),  # l
         pltpu.VMEM((rows, d), jnp.float32),          # acc
     ]
+    if pipeline:
+        scratch_shapes.append(
+            pltpu.VMEM((2, rows, bkvc), jnp.float32))  # s double buffer
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -473,7 +505,7 @@ def flash_attention_fwd(
         block_q=bq, block_kv=bkv, block_kv_compute=bkvc,
         seq_q=seq_q, seq_k=seq_k,
         n_kv=n_kv, use_rope=use_rope, return_lse=return_lse,
-        ragged=(sk_pad != seq_k),
+        ragged=(sk_pad != seq_k), pipeline=pipeline,
     )
 
     if interpret is None:

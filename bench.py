@@ -113,6 +113,25 @@ def bench_prefill(batch=4, hq=32, hkv=8, s=4096, d=128,
     return flops / dt / 1e12, dt
 
 
+def bench_fwd_bwd(batch=4, hq=32, hkv=8, s=2048, d=128, n_iters=5):
+    from aule_tpu.ops.flash_vjp import flash_attention_vjp
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((batch, hq, s, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((batch, hkv, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((batch, hkv, s, d)), jnp.bfloat16)
+
+    def fwd_bwd(q, k, v):
+        def loss(q, k, v):
+            return jnp.sum(flash_attention_vjp(
+                q, k, v, causal=True).astype(jnp.float32))
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    dt = devtime(jax.jit(fwd_bwd), q, k, v, n_iters=n_iters)
+    flops = 4 * batch * hq * s * s * d * 0.5 * 3.5  # fwd + 2.5x bwd
+    return flops / dt / 1e12, dt
+
+
 def main():
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
@@ -150,6 +169,13 @@ def main():
         log(f"prefill window=256: {tf_w:.1f} TFLOP/s (effective)")
     except Exception as e:  # pragma: no cover
         log(f"prefill bench failed: {e!r:.300}")
+
+    try:
+        tb, dtb = bench_fwd_bwd()
+        log(f"fwd+bwd bf16 B4 H32/8 S2048 causal: {tb:.1f} TFLOP/s eff "
+            f"({dtb*1e3:.2f} ms)")
+    except Exception as e:  # pragma: no cover
+        log(f"fwd+bwd bench failed: {e!r:.300}")
 
     print(json.dumps({
         "metric": "paged_decode_tokens_per_s_b8_ctx4096",
