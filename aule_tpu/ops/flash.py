@@ -147,6 +147,9 @@ def _fwd_kernel(
     # (WRONG numerics; isolates mask-VPU cost from tier predication cost)
     import os as _os
     force_clean = _os.environ.get("AULE_FLASH_DEBUG_FORCE_CLEAN") == "1"
+    # bf16 probability pipeline for bf16 inputs (opt-out knob)
+    bf16_p = (q_ref.dtype == jnp.bfloat16
+              and _os.environ.get("AULE_FLASH_F32_P") != "1")
 
     def _tier_conds(kvo: int, width: int):
         """(live, interior) for the sub-chunk at static in-block offset kvo.
@@ -246,13 +249,23 @@ def _fwd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
 
-        p = jnp.exp2(s - m_next)
+        if bf16_p:
+            # bf16 probability pipeline: cast (s - m) BEFORE exp2 so p
+            # lands in the matmul dtype with no separate post-exp2 cast.
+            # Error on p is |x|*ln2*2^-8, maximal ~0.4% at x=-1/ln2 and
+            # decaying with the weight itself — below bf16 input noise.
+            p = jnp.exp2((s - m_next).astype(jnp.bfloat16))
+            zero = jnp.bfloat16(0.0)
+        else:
+            p = jnp.exp2(s - m_next)
+            zero = 0.0
         if masked and window > 0:
             # NaN safety for fully-masked rows (triton_flash.py:201-220):
             # only windows can empty a row; exp(mask - mask) would be 1.
-            p = jnp.where(mask, p, 0.0)
+            p = jnp.where(mask, p, zero)
 
-        l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        l_next = l_prev * alpha + jnp.sum(
+            p, axis=1, keepdims=True, dtype=jnp.float32)
         m_scr[:, :1] = m_next
         l_scr[:, :1] = l_next
 
@@ -416,6 +429,14 @@ def flash_attention_fwd(
         scale = 1.0 / float(np.sqrt(d))
     window = int(window_size) if window_size and window_size > 0 else -1
 
+    out_cast = None
+    if q.dtype == jnp.float16:
+        # Mosaic has no f16 vector type on TPU ("Unsupported type in
+        # mosaic dialect: 'f16'"); compute in f32 (the reference's f16
+        # shaders also accumulate in f32) and cast the output back.
+        q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+        out_cast = jnp.float16
+
     # fold softmax scale and the exp->exp2 conversion into q: one cheap
     # [B,H,S,D] pass instead of two full [S,S]-tile passes per kv block
     LOG2E = 1.4426950408889634
@@ -536,6 +557,8 @@ def flash_attention_fwd(
     out = results[0]
     if sq_pad != seq_q:
         out = out[:, :, :seq_q]
+    if out_cast is not None:
+        out = out.astype(out_cast)
     if not return_lse:
         return out
     lse = results[1][..., 0]  # compact [B, Hq, Sq]

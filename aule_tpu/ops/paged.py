@@ -245,11 +245,16 @@ def paged_attention(
         # (serving/engine.py does).
         from .paged_fused import paged_attention_fused, to_fused_layout
 
-        kv, sc = to_fused_layout(k_pages, v_pages, k_scales, v_scales)
+        # exact mode: f32 scales + cast-path (no q/p int8 quantization)
+        # preserve this API's fold-equals-dequant contract; the serving
+        # fast path holds the cache fused with bf16 scales + int8 MXU
+        kv, sc = to_fused_layout(k_pages, v_pages, k_scales, v_scales,
+                                 scale_dtype=jnp.float32)
         return paged_attention_fused(
             q, kv, block_tables, context_lens, kv_scales=sc, scale=scale,
             window_size=window_size,
             pages_per_compute_block=pages_per_compute_block,
+            int8_matmul=False,
             return_lse=return_lse, interpret=interpret)
 
     ppcb = pages_per_compute_block or get_tile_config().pages_per_compute_block

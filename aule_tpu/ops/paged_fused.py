@@ -93,9 +93,11 @@ def fused_scales_shape(num_pages: int, hkv: int, page_size: int,
     return (num_pages, page_size, tp * NUM_LANES)
 
 
-def pack_fused_scales(k_scales, v_scales):
-    """Head-major scales [Hkv, P, page] x2 -> packed [P, page, 128] bf16
-    (row = slot, lane = kv*64 + h)."""
+def pack_fused_scales(k_scales, v_scales, dtype=SCALE_DTYPE):
+    """Head-major scales [Hkv, P, page] x2 -> packed [P, page, 128]
+    (row = slot, lane = kv*64 + h).  Default bf16 (half the scale-DMA
+    bytes; ~2^-8 relative rounding); pass jnp.float32 for exactness
+    (the split-layout compat path's fold-equals-dequant contract)."""
     hkv, num_pages, page_size = k_scales.shape
     fused_scales_shape(num_pages, hkv, page_size)  # validates hkv
 
@@ -105,7 +107,7 @@ def pack_fused_scales(k_scales, v_scales):
                                (0, SCALE_KV_STRIDE - hkv)))
 
     return jnp.concatenate(
-        [part(k_scales), part(v_scales)], axis=-1).astype(SCALE_DTYPE)
+        [part(k_scales), part(v_scales)], axis=-1).astype(dtype)
 
 
 def unpack_fused_scales(packed, hkv: int, page_size: int):
@@ -119,7 +121,8 @@ def unpack_fused_scales(packed, hkv: int, page_size: int):
     return heads(0), heads(SCALE_KV_STRIDE)
 
 
-def to_fused_layout(k_pages, v_pages, k_scales=None, v_scales=None):
+def to_fused_layout(k_pages, v_pages, k_scales=None, v_scales=None,
+                    scale_dtype=SCALE_DTYPE):
     """[Hkv, P, page, D] x2 -> [P, 2, Hkv, page, Dpad] (+ packed scales).
 
     D pads to the lane width (see pad_head_dim); the attention wrappers
@@ -130,7 +133,7 @@ def to_fused_layout(k_pages, v_pages, k_scales=None, v_scales=None):
     kv = _pad_last(kv, pad_head_dim(kv.shape[-1]))
     if k_scales is None:
         return kv
-    return kv, pack_fused_scales(k_scales, v_scales)
+    return kv, pack_fused_scales(k_scales, v_scales, dtype=scale_dtype)
 
 
 def from_fused_layout(kv_pages, head_dim: Optional[int] = None):
@@ -369,14 +372,22 @@ def paged_attention_fused(
     block_tables: jnp.ndarray,     # [B, max_pages]
     context_lens: jnp.ndarray,     # [B]
     *,
-    kv_scales: Optional[jnp.ndarray] = None,   # packed [P, SR, 128] f32
+    kv_scales: Optional[jnp.ndarray] = None,   # packed [P, page, 128]
     scale: Optional[float] = None,
     window_size: int = -1,
     pages_per_compute_block: Optional[int] = None,
+    int8_matmul: Optional[bool] = None,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused-layout paged decode (see module docstring).
+
+    int8_matmul: run both matmuls on the int8 MXU for int8 pools
+    (quantizing q and p per row — the INT-FlashAttention fast path,
+    ~2x bf16 tok/s at ~1% extra error).  Default on for int8 pools;
+    pass False for the exact cast-path (scale folding then equals
+    explicit dequantization bit-for-bit up to f32 rounding, the split
+    layout's documented contract).
 
     With return_lse=True also returns natural-log LSE [B, Hq] (used by
     the cross-shard softmax combine, parallel/collectives.py)."""
@@ -409,9 +420,8 @@ def paged_attention_fused(
         raise ValueError(
             f"kv_scales must be packed {(num_pages, sr, NUM_LANES)} "
             f"(see pack_fused_scales), got {kv_scales.shape}")
-    if quantized:
-        kv_scales = kv_scales.astype(SCALE_DTYPE)
-    int8_path = bool(quantized and kv_pages.dtype == jnp.int8)
+    int8_path = bool(quantized and kv_pages.dtype == jnp.int8
+                     and int8_matmul is not False)
 
     # Mosaic has no mixed-dtype matmul: align q to the pool dtype on the
     # unquantized path (q is tiny; the pools are not).
@@ -465,7 +475,8 @@ def paged_attention_fused(
             in_specs.append(pl.BlockSpec(
                 (1, hkv * gp, NUM_LANES), lambda b, i, *_: (b, 0, 0)))
             args.append(qf_arr)
-        scratch.append(pltpu.VMEM((2, ppcb, sr, NUM_LANES), SCALE_DTYPE))
+        scratch.append(pltpu.VMEM((2, ppcb, sr, NUM_LANES),
+                                  kv_scales.dtype))
         sems.append(pltpu.SemaphoreType.DMA((2,)))
 
     # per-(seq, block) physical-contiguity flags for DMA coalescing
@@ -842,8 +853,6 @@ def paged_attention_prefill(
         raise ValueError(
             f"kv_scales must be packed {(num_pages, sr, NUM_LANES)} "
             f"(see pack_fused_scales), got {kv_scales.shape}")
-    if quantized:
-        kv_scales = kv_scales.astype(SCALE_DTYPE)
     if not quantized and q.dtype != kv_pages.dtype:
         q = q.astype(kv_pages.dtype)
 
@@ -883,7 +892,8 @@ def paged_attention_prefill(
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(kv_scales)
-        scratch.append(pltpu.VMEM((2, ppcb, sr, NUM_LANES), SCALE_DTYPE))
+        scratch.append(pltpu.VMEM((2, ppcb, sr, NUM_LANES),
+                                  kv_scales.dtype))
         sems.append(pltpu.SemaphoreType.DMA((2,)))
 
     bt_blocks = block_tables.reshape(batch, n_blocks, ppcb)
