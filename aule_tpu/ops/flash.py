@@ -147,9 +147,6 @@ def _fwd_kernel(
     # (WRONG numerics; isolates mask-VPU cost from tier predication cost)
     import os as _os
     force_clean = _os.environ.get("AULE_FLASH_DEBUG_FORCE_CLEAN") == "1"
-    # bf16 probability pipeline for bf16 inputs (opt-out knob)
-    bf16_p = (q_ref.dtype == jnp.bfloat16
-              and _os.environ.get("AULE_FLASH_F32_P") != "1")
 
     def _tier_conds(kvo: int, width: int):
         """(live, interior) for the sub-chunk at static in-block offset kvo.
@@ -249,20 +246,11 @@ def _fwd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
 
-        if bf16_p:
-            # bf16 probability pipeline: cast (s - m) BEFORE exp2 so p
-            # lands in the matmul dtype with no separate post-exp2 cast.
-            # Error on p is |x|*ln2*2^-8, maximal ~0.4% at x=-1/ln2 and
-            # decaying with the weight itself — below bf16 input noise.
-            p = jnp.exp2((s - m_next).astype(jnp.bfloat16))
-            zero = jnp.bfloat16(0.0)
-        else:
-            p = jnp.exp2(s - m_next)
-            zero = 0.0
+        p = jnp.exp2(s - m_next)
         if masked and window > 0:
             # NaN safety for fully-masked rows (triton_flash.py:201-220):
             # only windows can empty a row; exp(mask - mask) would be 1.
-            p = jnp.where(mask, p, zero)
+            p = jnp.where(mask, p, 0.0)
 
         l_next = l_prev * alpha + jnp.sum(
             p, axis=1, keepdims=True, dtype=jnp.float32)
