@@ -43,7 +43,7 @@ def bench_prefill(b, hq, hkv, s, d, dtype, causal=True, window=-1,
     if backward:
         f = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
             flash_attention_vjp(q, k, v, causal=causal,
-                                window_size=window) ** 2),
+                                window_size=window).astype(jnp.float32)),
             argnums=(0, 1, 2)))
     else:
         f = jax.jit(lambda q, k, v: flash_attention_fwd(
