@@ -148,17 +148,19 @@ def forward(
     return_kv: bool = False,
     return_aux: bool = False,
     moe_mlp=None,
+    mesh=None,
+    data_axis: str = "data",
+    model_axis: str = "model",
 ):
     """Causal-LM forward; `moe_mlp(layer, x, cfg)` pluggable so the EP
     wrapper reuses this exact skeleton.  With return_aux, also returns
     the load-balancing auxiliary loss (mean over layers of
     E * sum_e frac_e * prob_e, computed on the TRUE router inputs)."""
-    from ..ops.flash_vjp import flash_attention_vjp
-
     b, s = tokens.shape
     if rope_cos is None:
         rope_cos, rope_sin = precompute_rope_frequencies(
             s, cfg.head_dim, cfg.rope_base)
+    attn_fn = llama._make_attn_fn(cfg, mesh, data_axis, model_axis)
     mlp = moe_mlp or _moe_mlp_dense
     x = params["embed"][tokens]
     kv_out = []
@@ -174,8 +176,7 @@ def forward(
         k = apply_rope(k, rope_cos, rope_sin)
         if return_kv:
             kv_out.append((k, v))
-        attn = flash_attention_vjp(q, k, v, causal=True,
-                                   window_size=cfg.window_size)
+        attn = attn_fn(q, k, v)
         x = x + llama._merge_heads(attn) @ layer["wo"]
         h = llama.rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
         if return_aux:
@@ -301,3 +302,190 @@ def train_step(params, tokens, cfg: MoEConfig, lr: float = 1e-4,
         lambda p, g: (p - lr * g.astype(jnp.float32)).astype(p.dtype),
         params, grads)
     return params, loss
+
+
+# ---------------------------------------------------------------------------
+# serving surface (ServingEngine model interface: forward/return_kv +
+# decode_step_fused + prefill_step_fused — mirrors models/llama.py)
+# ---------------------------------------------------------------------------
+
+
+def decode_step_fused(
+    params: Dict[str, Any],
+    token: jnp.ndarray,            # [B]
+    positions: jnp.ndarray,        # [B]
+    kv_pages,                      # per-layer fused pools
+    block_tables: jnp.ndarray,
+    context_lens: jnp.ndarray,
+    cfg: MoEConfig,
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    kv_scales=None,
+    mesh=None,
+    model_axis: str = "model",
+    moe_mlp=None,
+):
+    """One decode step over fused pools with the routed-MoE MLP.  The
+    attention append+attend matches llama.decode_step_fused (incl. the
+    TP shard_map island); the MLP runs the dense mixture (or a provided
+    expert-parallel moe_mlp) on the [B, 1, dim] stream."""
+    from ..ops.paged_fused import (
+        kv_cache_append_decode_fused,
+        paged_attention_fused,
+    )
+
+    quantized = kv_scales is not None
+    dec_window = cfg.window_size + 1 if cfg.window_size > 0 else -1
+    mlp = moe_mlp or _moe_mlp_dense
+
+    def _attend_local(q, k, v, kvp, sc, bt, lens):
+        if quantized:
+            kvp, sc, lens_out = kv_cache_append_decode_fused(
+                kvp, k, v, bt, lens, kv_scales=sc)
+            attn = paged_attention_fused(q, kvp, bt, lens_out,
+                                         kv_scales=sc,
+                                         window_size=dec_window)
+        else:
+            kvp, lens_out = kv_cache_append_decode_fused(
+                kvp, k, v, bt, lens)
+            attn = paged_attention_fused(q, kvp, bt, lens_out,
+                                         window_size=dec_window)
+        return attn, kvp, sc, lens_out
+
+    if mesh is not None:
+        hspec = P(None, model_axis, None)
+        pool_spec = P(None, None, model_axis, None, None)
+        sc_spec = P(None, None, model_axis) if quantized else P()
+        attend = shard_map(
+            _attend_local, mesh=mesh,
+            in_specs=(hspec, hspec, hspec, pool_spec, sc_spec,
+                      P(None, None), P(None)),
+            out_specs=(hspec, pool_spec, sc_spec, P(None)),
+            check_vma=False)
+    else:
+        attend = _attend_local
+
+    x = params["embed"][token]
+    new_kv, new_sc = [], []
+    lens_out = context_lens
+    c = rope_cos[positions][:, None, :]
+    sn = rope_sin[positions][:, None, :]
+    half = cfg.head_dim // 2
+    for li, layer in enumerate(params["layers"]):
+        h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = (h @ layer["wq"]).reshape(-1, cfg.n_heads, cfg.head_dim)
+        k = (h @ layer["wk"]).reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+        v = (h @ layer["wv"]).reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+        q = jnp.concatenate(
+            [q[..., :half] * c - q[..., half:] * sn,
+             q[..., :half] * sn + q[..., half:] * c],
+            axis=-1).astype(q.dtype)
+        k = jnp.concatenate(
+            [k[..., :half] * c - k[..., half:] * sn,
+             k[..., :half] * sn + k[..., half:] * c],
+            axis=-1).astype(k.dtype)
+
+        sci = (kv_scales[li] if quantized
+               else jnp.zeros((), jnp.float32))
+        attn, kv, sc, lens_out = attend(
+            q, k, v, kv_pages[li], sci, block_tables, context_lens)
+        if quantized:
+            new_sc.append(sc)
+        new_kv.append(kv)
+        x = x + attn.reshape(-1, cfg.n_heads * cfg.head_dim) @ layer["wo"]
+        h = llama.rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        x = x + mlp(layer, h[:, None, :], cfg)[:, 0]
+
+    x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    if quantized:
+        return logits, new_kv, lens_out, new_sc
+    return logits, new_kv, lens_out
+
+
+def prefill_step_fused(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,           # [B, S_chunk]
+    q_offsets: jnp.ndarray,
+    seq_lens: jnp.ndarray,
+    kv_pages,
+    block_tables: jnp.ndarray,
+    cfg: MoEConfig,
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    kv_scales=None,
+    mesh=None,
+    model_axis: str = "model",
+    moe_mlp=None,
+):
+    """Chunked prefill over fused pools with the routed-MoE MLP
+    (mirrors llama.prefill_step_fused)."""
+    from ..ops.paged_fused import (
+        kv_cache_append_prefill_fused,
+        paged_attention_prefill,
+    )
+
+    quantized = kv_scales is not None
+    mlp = moe_mlp or _moe_mlp_dense
+
+    def _attend_local(q, k, v, kvp, sc, bt, qoff, slens):
+        if quantized:
+            kvp, sc, lens_out = kv_cache_append_prefill_fused(
+                kvp, k, v, bt, qoff, slens, kv_scales=sc)
+            attn = paged_attention_prefill(
+                q, kvp, bt, lens_out, q_offsets=qoff, causal=True,
+                window_size=cfg.window_size, kv_scales=sc)
+        else:
+            kvp, lens_out = kv_cache_append_prefill_fused(
+                kvp, k, v, bt, qoff, slens)
+            attn = paged_attention_prefill(
+                q, kvp, bt, lens_out, q_offsets=qoff, causal=True,
+                window_size=cfg.window_size)
+        return attn, kvp, sc, lens_out
+
+    if mesh is not None:
+        hspec = P(None, model_axis, None, None)
+        pool_spec = P(None, None, model_axis, None, None)
+        sc_spec = P(None, None, model_axis) if quantized else P()
+        attend = shard_map(
+            _attend_local, mesh=mesh,
+            in_specs=(hspec, hspec, hspec, pool_spec, sc_spec,
+                      P(None, None), P(None), P(None)),
+            out_specs=(hspec, pool_spec, sc_spec, P(None)),
+            check_vma=False)
+    else:
+        attend = _attend_local
+
+    b, s_chunk = tokens.shape
+    positions = q_offsets[:, None] + jnp.arange(s_chunk, dtype=jnp.int32)
+    x = params["embed"][tokens]
+    new_kv, new_sc = [], []
+    lens_out = q_offsets + seq_lens
+    for li, layer in enumerate(params["layers"]):
+        h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = llama._split_heads(h @ layer["wq"], cfg.n_heads, cfg.head_dim)
+        k = llama._split_heads(h @ layer["wk"], cfg.n_kv_heads,
+                               cfg.head_dim)
+        v = llama._split_heads(h @ layer["wv"], cfg.n_kv_heads,
+                               cfg.head_dim)
+        q = apply_rope(q, rope_cos, rope_sin, positions[:, None])
+        k = apply_rope(k, rope_cos, rope_sin, positions[:, None])
+
+        sci = (kv_scales[li] if quantized
+               else jnp.zeros((), jnp.float32))
+        attn, kv, sc, lens_out = attend(
+            q, k, v, kv_pages[li], sci, block_tables, q_offsets, seq_lens)
+        if quantized:
+            new_sc.append(sc)
+        new_kv.append(kv)
+        x = x + llama._merge_heads(attn) @ layer["wo"]
+        h = llama.rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        x = x + mlp(layer, h, cfg)
+
+    last = jnp.take_along_axis(
+        x, jnp.maximum(seq_lens - 1, 0)[:, None, None], axis=1)[:, 0]
+    last = llama.rms_norm(last, params["final_norm"], cfg.norm_eps)
+    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    if quantized:
+        return logits, new_kv, lens_out, new_sc
+    return logits, new_kv, lens_out

@@ -106,3 +106,47 @@ def test_aux_loss_balances(params):
     _, aux = moe.forward(params, tokens, CFG, return_aux=True)
     assert np.isfinite(float(aux))
     assert float(aux) >= 0.9, float(aux)
+
+
+def test_moe_engine_decode_matches_forward(params):
+    """MoE served by the continuous-batching engine == full-forward
+    argmax oracle (prefill + paged decode with the routed MLP)."""
+    from aule_tpu.serving.engine import ServingEngine
+
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, CFG.vocab_size, size=7).astype(np.int32)
+    steps = 5
+
+    seq = list(prompt)
+    oracle = []
+    for _ in range(steps):
+        logits = moe.forward(
+            params, jnp.asarray(np.asarray(seq)[None], jnp.int32), CFG)
+        nxt = int(jnp.argmax(logits[0, len(seq) - 1]))
+        oracle.append(nxt)
+        seq.append(nxt)
+
+    eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256, model=moe)
+    eng.submit(prompt, max_new_tokens=steps)
+    done = eng.run()
+    assert len(done) == 1
+    assert done[0].output == oracle, (done[0].output, oracle)
+
+
+def test_moe_engine_quantized_runs(params):
+    """int8-cache MoE serving completes; first token matches fp32."""
+    from aule_tpu.serving.engine import ServingEngine
+
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, CFG.vocab_size, size=9).astype(np.int32)
+    outs = {}
+    for quant in (False, True):
+        eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256, model=moe, quantized=quant)
+        eng.submit(prompt, max_new_tokens=4)
+        done = eng.run()
+        outs[quant] = done[0].output
+    assert outs[True][0] == outs[False][0]
