@@ -210,8 +210,46 @@ def paged_attention_prefill(*args, **kwargs):
     return _impl(*args, **kwargs)
 
 
+def flash_attention_rope(*args, **kwargs):
+    """Inference fast path with RoPE fused inside the kernel (the
+    reference's public flash_attention_rope, triton_flash.py:561-603)."""
+    from .ops.flash import flash_attention_rope as _impl
+
+    return _impl(*args, **kwargs)
+
+
+def flash_attention_lse(*args, **kwargs):
+    """Differentiable (out, lse) pair — the reference's public
+    forward-with-LSE training surface (vulkan.py:824-962)."""
+    from .ops.flash_vjp import flash_attention_lse as _impl
+
+    return _impl(*args, **kwargs)
+
+
+def patch_model(model, causal=None, backend=None):
+    """Route a model's attention through aule kernels (HF torch models
+    via the attention-interface registry; JAX models via the SDPA patch).
+    Reference analog: python/aule/patching.py::patch_model."""
+    from .integration.patching import patch_model as _impl
+
+    return _impl(model, causal=causal, backend=backend)
+
+
+def dot_product_attention(*args, **kwargs):
+    """Drop-in for jax.nn.dot_product_attention (BTNH layout) — the
+    reference's scaled_dot_product_attention analog
+    (python/aule/__init__.py:288-350)."""
+    from .integration.patching import dot_product_attention as _impl
+
+    return _impl(*args, **kwargs)
+
+
 __all__ = [
     "flash_attention",
+    "flash_attention_rope",
+    "flash_attention_lse",
+    "dot_product_attention",
+    "patch_model",
     "paged_attention",
     "paged_attention_fused",
     "paged_attention_prefill",

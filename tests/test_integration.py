@@ -136,3 +136,34 @@ def test_top_level_paged_attention_export():
         jnp.asarray(bt), jnp.asarray(ctx), pages_per_compute_block=2)
     want = aule_tpu.paged_attention_reference(q, k_pages, v_pages, bt, ctx)
     assert_close(out, np.asarray(want), 3e-5, 3e-5, "top-level paged")
+
+
+def test_public_export_surface():
+    """Every name in __all__ resolves and the reference's public surface
+    has an aule-tpu analog exported at top level."""
+    import aule_tpu
+
+    for name in aule_tpu.__all__:
+        assert getattr(aule_tpu, name, None) is not None, name
+    # reference exports with direct analogs (python/aule/__init__.py:565)
+    for name in ("flash_attention", "flash_attention_rope", "install",
+                 "uninstall", "patch_model", "get_available_backends",
+                 "get_backend_errors", "get_backend_info",
+                 "print_backend_info", "precompute_rope_frequencies"):
+        assert name in aule_tpu.__all__, name
+
+
+def test_top_level_rope_and_lse_wrappers():
+    import aule_tpu
+    from aule_tpu.ops.rope import precompute_rope_frequencies
+
+    q, k, v = (np.random.default_rng(5).standard_normal(
+        (1, 2, 64, 64)).astype(np.float32) for _ in range(3))
+    cos, sin = precompute_rope_frequencies(64, 64)
+    out = aule_tpu.flash_attention_rope(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), cos, sin,
+        causal=True)
+    assert out.shape == (1, 2, 64, 64)
+    o, lse = aule_tpu.flash_attention_lse(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True)
+    assert lse.shape == (1, 2, 64)
