@@ -229,6 +229,10 @@ def paged_attention(
         scale = 1.0 / float(np.sqrt(d))
     window = int(window_size) if window_size and window_size > 0 else -1
     quantized = k_scales is not None
+    if not quantized and jnp.issubdtype(k_pages.dtype, jnp.integer):
+        raise ValueError(
+            "integer KV pools need k_scales/v_scales (attention over raw "
+            "int8 codes is meaningless); see ops/quant.quantize_kv")
 
     if interpret is None:
         interpret = get_config().interpret or (

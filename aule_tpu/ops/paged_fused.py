@@ -404,6 +404,10 @@ def paged_attention_fused(
     q = _pad_last(q, d)
     window = int(window_size) if window_size and window_size > 0 else -1
     quantized = kv_scales is not None
+    if not quantized and jnp.issubdtype(kv_pages.dtype, jnp.integer):
+        raise ValueError(
+            "integer KV pools need kv_scales (attention over raw int8 "
+            "codes is meaningless); see ops/quant.quantize_kv")
 
     ppcb = (pages_per_compute_block
             or get_tile_config().pages_per_compute_block_fused)
@@ -835,6 +839,10 @@ def paged_attention_prefill(
     q = _pad_last(q, d)
     window = int(window_size) if window_size and window_size > 0 else -1
     quantized = kv_scales is not None
+    if not quantized and jnp.issubdtype(kv_pages.dtype, jnp.integer):
+        raise ValueError(
+            "integer KV pools need kv_scales (attention over raw int8 "
+            "codes is meaningless); see ops/quant.quantize_kv")
     if q_offsets is None:
         q_offsets = context_lens - s_new
 

@@ -97,7 +97,7 @@ def test_needle_32k_quantized():
     vq, vs = quantize_kv(jnp.asarray(v_pages), jnp.int8)
     got = np.asarray(paged_attention(
         jnp.asarray(q), kq, vq, jnp.asarray(bt), jnp.asarray(lens),
-        window_size=8192, interpret=False))
+        k_scales=ks, v_scales=vs, window_size=8192, interpret=False))
     cos = float(np.dot(got[0, 0], nval)
                 / (np.linalg.norm(got[0, 0]) * np.linalg.norm(nval)))
     assert cos > 0.9
