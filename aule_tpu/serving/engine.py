@@ -69,6 +69,8 @@ class ServingEngine:
         max_pages_per_seq: int = 64,
         max_seq_len: int = 2048,
         sample: Callable[[jnp.ndarray], jnp.ndarray] = None,
+        sampler=None,
+        sample_seed: int = 0,
         quantized: bool = False,
         quant_dtype=jnp.int8,
         layout: str = "fused",
@@ -125,7 +127,16 @@ class ServingEngine:
                 f"position table n_ctx={n_ctx}")
         self.rope_cos, self.rope_sin = precompute_rope_frequencies(
             max_seq_len, cfg.head_dim, cfg.rope_base)
+        # Sampling: `sample` is the legacy logits->token callable (must be
+        # deterministic/jittable); `sampler` is a PRNG-pure
+        # (logits, key)->token from serving.sampling — keys thread through
+        # the jitted decode paths (fold-in per scan step), so stochastic
+        # multi-step decode is on-device AND reproducible from sample_seed.
+        if sample is not None and sampler is not None:
+            raise ValueError("pass either sample= or sampler=, not both")
+        self._sampler = sampler
         self.sample = sample or (lambda logits: jnp.argmax(logits, -1))
+        self._rng = jax.random.key(sample_seed)
 
         # quant_dtype: int8 (the perf path — int8 MXU matmuls in the fused
         # kernel) or float8_e4m3fn (supported end-to-end; on v5e fp8 casts
@@ -401,7 +412,7 @@ class ServingEngine:
                 jnp.asarray([len(chunk)], jnp.int32), bt,
                 self.k_pages, self.k_scales)
         self.slot_lens[slot] = n
-        req.output.append(int(self.sample(logits[0])))
+        req.output.append(int(self._host_sample(logits[0])))
 
     def _run_prefill(self, slot: int, req: Request) -> None:
         if self.prefill_chunk is not None:
@@ -421,11 +432,24 @@ class ServingEngine:
         # note: padded tail tokens scatter garbage beyond n, but
         # context_len = n hides them from decode
         self.slot_lens[slot] = n
-        next_tok = int(self.sample(logits[0, n - 1]))
+        next_tok = int(self._host_sample(logits[0, n - 1]))
         req.output.append(next_tok)
 
+    def _sample_dev(self, logits, key):
+        """In-jit sampling: PRNG sampler when configured, else legacy."""
+        if self._sampler is not None:
+            return self._sampler(logits, key)
+        return self.sample(logits)
+
+    def _host_sample(self, logits):
+        """Host-side sampling (prefill's first token)."""
+        if self._sampler is None:
+            return self.sample(logits)
+        self._rng, sub = jax.random.split(self._rng)
+        return self._sampler(logits, sub)
+
     def _decode_step(self, tokens, positions, bt, lens, k_pages, v_pages,
-                     k_scales, v_scales):
+                     k_scales, v_scales, key):
         L = self.cfg.n_layers
         if self.layout == "fused":
             pools = [k_pages[i] for i in range(L)]
@@ -435,13 +459,13 @@ class ServingEngine:
                     self.cfg, self.rope_cos, self.rope_sin,
                     kv_scales=[k_scales[i] for i in range(L)],
                     mesh=self.mesh, model_axis=self.model_axis)
-                return (self.sample(logits), jnp.stack(kvs), v_pages,
+                return (self._sample_dev(logits, key), jnp.stack(kvs), v_pages,
                         new_lens, jnp.stack(scs), v_scales)
             logits, kvs, new_lens = self.model.decode_step_fused(
                 self.params, tokens, positions, pools, bt, lens,
                 self.cfg, self.rope_cos, self.rope_sin,
                 mesh=self.mesh, model_axis=self.model_axis)
-            return (self.sample(logits), jnp.stack(kvs), v_pages,
+            return (self._sample_dev(logits, key), jnp.stack(kvs), v_pages,
                     new_lens, k_scales, v_scales)
         if self.quantized:
             logits, kps, vps, new_lens, kss, vss = self.model.decode_step(
@@ -452,7 +476,7 @@ class ServingEngine:
                 k_scales=[k_scales[i] for i in range(L)],
                 v_scales=[v_scales[i] for i in range(L)],
                 mesh=self.mesh, model_axis=self.model_axis)
-            next_tokens = self.sample(logits)
+            next_tokens = self._sample_dev(logits, key)
             return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
                     jnp.stack(kss), jnp.stack(vss))
         logits, kps, vps, new_lens = self.model.decode_step(
@@ -461,23 +485,24 @@ class ServingEngine:
             [v_pages[i] for i in range(L)],
             bt, lens, self.cfg, self.rope_cos, self.rope_sin,
             mesh=self.mesh, model_axis=self.model_axis)
-        next_tokens = self.sample(logits)
+        next_tokens = self._sample_dev(logits, key)
         return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
                 k_scales, v_scales)
 
     def _decode_multi(self, tokens, positions, bt, lens, k_pages, v_pages,
-                      k_scales, v_scales, *, n_steps):
+                      k_scales, v_scales, key, *, n_steps):
         """jit'd: n_steps decode steps in one dispatch (lax.scan)."""
-        def body(carry, _):
+        def body(carry, t):
             tok, pos, ln, kp, vp, ks, vs = carry
             nxt, kp, vp, new_ln, ks, vs = self._decode_step(
-                tok, pos, bt, ln, kp, vp, ks, vs)
+                tok, pos, bt, ln, kp, vp, ks, vs,
+                jax.random.fold_in(key, t))
             return (nxt, pos + 1, new_ln, kp, vp, ks, vs), nxt
 
         init = (tokens, positions, lens, k_pages, v_pages,
                 k_scales, v_scales)
         (tok, pos, ln, kp, vp, ks, vs), toks = jax.lax.scan(
-            body, init, None, length=n_steps)
+            body, init, jnp.arange(n_steps, dtype=jnp.int32))
         return toks, kp, vp, ln, ks, vs
 
     def _decode_all(self) -> None:
@@ -489,6 +514,7 @@ class ServingEngine:
                     tokens[s] = req.output[-1]
                 remaining.append(req.max_new_tokens - len(req.output))
         lens = jnp.asarray(self.slot_lens)
+        self._rng, step_key = jax.random.split(self._rng)
         k = self.decode_steps
         multi = (k > 1 and not self.waiting and remaining
                  and min(remaining) >= k)
@@ -497,13 +523,14 @@ class ServingEngine:
              self.k_scales, self.v_scales) = self._decode_multi_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
-                n_steps=k)
+                step_key, n_steps=k)
             next_np = np.asarray(toks)  # [k, max_batch]
         else:
             (next_tokens, self.k_pages, self.v_pages, new_lens,
              self.k_scales, self.v_scales) = self._decode_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
-                self.k_pages, self.v_pages, self.k_scales, self.v_scales)
+                self.k_pages, self.v_pages, self.k_scales, self.v_scales,
+                step_key)
             next_np = np.asarray(next_tokens)[None]
         self.slot_lens = np.asarray(new_lens).copy()
         for s, req in enumerate(self.slots):
@@ -557,6 +584,8 @@ def save_engine_state(eng: "ServingEngine", path: str) -> None:
         "waiting": [req(r) for r in eng.waiting],
         "finished": [req(r) for r in eng.finished],
         "next_id": eng._next_id,
+        "rng_key": np.asarray(
+            jax.random.key_data(eng._rng)).tolist(),
         # native (LIFO) order: resume must allocate pages in the same
         # order as the uninterrupted run, or the contiguous-run DMA
         # coalescing behavior diverges after resume (ADVICE r1)
@@ -604,4 +633,7 @@ def load_engine_state(eng: "ServingEngine", path: str) -> None:
     eng.waiting = [req(d) for d in host["waiting"]]
     eng.finished = [req(d) for d in host["finished"]]
     eng._next_id = host["next_id"]
+    if "rng_key" in host:
+        eng._rng = jax.random.wrap_key_data(
+            jnp.asarray(host["rng_key"], jnp.uint32))
     eng.allocator.set_free_list(host["free_pages"])
