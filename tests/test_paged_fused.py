@@ -257,3 +257,23 @@ def test_window_decode_prefill_equivalence_kernel_level(ctx):
         jnp.asarray([ctx], np.int32), window_size=W + 1))
 
     assert_close(got, want, 2e-5, 2e-5, f"window seam ctx={ctx}")
+
+
+def test_fused_quantized_window():
+    """int8-MXU decode path combined with the trailing window mask."""
+    batch, hq, hkv, d, page = 2, 8, 2, 64, 16
+    ctx = np.array([200, 77], np.int32)
+    k_pages, v_pages, bt = make_cache(batch, hkv, d, 64, page, 16, ctx)
+    q = np.random.default_rng(13).standard_normal((batch, hq, d)).astype(
+        np.float32)
+    kq, ks = quantize_kv(jnp.asarray(k_pages), jnp.int8)
+    vq, vs = quantize_kv(jnp.asarray(v_pages), jnp.int8)
+    kv, sc = to_fused_layout(kq, vq, ks, vs)
+    got = np.asarray(paged_attention_fused(
+        jnp.asarray(q), kv, jnp.asarray(bt), jnp.asarray(ctx),
+        kv_scales=sc, window_size=64, pages_per_compute_block=4))
+    want = np.asarray(paged_attention_reference(
+        q, k_pages, v_pages, bt, ctx, window_size=64))
+    err = np.abs(got - want).max()
+    assert err < 4e-2, f"int8 window decode err {err}"
+    assert np.isfinite(got).all()
