@@ -741,12 +741,15 @@ def _fused_prefill_kernel(
             k = k.astype(cdt)
             v = v.astype(cdt)
         rows = gp * block_q
-        q = q_ref[0].reshape(hkv, rows, -1)
+        # fold the softmax scale into the q tile ([rows, D]) instead of
+        # the score tile ([rows, tokens]): 4x fewer multiplies per block
+        q = (q_ref[0].reshape(hkv, rows, -1).astype(jnp.float32)
+             * scale).astype(q_ref.dtype)
 
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=precision,
-        ) * scale  # [Hkv, Gp*bq, tokens]
+        )  # [Hkv, Gp*bq, tokens]
         if quantized:
             s = s * kf[:, None, :]
         s = s.reshape(hkv * rows, tokens_per_block)
