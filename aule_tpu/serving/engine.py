@@ -75,6 +75,7 @@ class ServingEngine:
         quant_dtype=jnp.int8,
         layout: str = "fused",
         prefill_chunk: Optional[int] = None,
+        enable_prefix_cache: bool = False,
         decode_steps: int = 8,
         mesh=None,
         model_axis: str = "model",
@@ -222,6 +223,21 @@ class ServingEngine:
             raise ValueError("prefill_chunk requires layout='fused'")
         self.prefill_chunk = prefill_chunk
 
+        # Prefix caching: FULL prompt pages are content-addressed by a
+        # chained page hash; a request whose prompt prefix matches cached
+        # pages reuses them (refcounted) and prefills only the tail —
+        # chunked prefill's q_offset/history support is exactly the
+        # mechanism needed, so the cache requires prefill_chunk.
+        # Pages with refcount 0 stay cached until pool pressure evicts
+        # them (oldest-registered first).
+        if enable_prefix_cache and prefill_chunk is None:
+            raise ValueError("enable_prefix_cache requires prefill_chunk")
+        self.enable_prefix_cache = enable_prefix_cache
+        self._prefix_cache: Dict[str, int] = {}   # chain hash -> phys page
+        self._page_hash: Dict[int, str] = {}      # phys page -> chain hash
+        self._page_rc: Dict[int, int] = {}        # phys page -> refcount
+        self.prefix_cache_hit_tokens = 0
+
         # Multi-step decode: when every running request has >= decode_steps
         # tokens to go and nothing is waiting to be admitted, lax.scan K
         # decode steps inside ONE dispatch — the host loop (and its
@@ -286,22 +302,69 @@ class ServingEngine:
         if self.num_running:
             self._decode_all()
 
+    def _prompt_page_hashes(self, prompt) -> List[str]:
+        """Chained content hashes of the prompt's FULL pages."""
+        import hashlib
+
+        hashes = []
+        prev = b""
+        for p in range(len(prompt) // self.page_size):
+            chunk = np.asarray(
+                prompt[p * self.page_size:(p + 1) * self.page_size],
+                np.int32).tobytes()
+            prev = hashlib.sha1(prev + chunk).hexdigest().encode()
+            hashes.append(prev.decode())
+        return hashes
+
+    def _prefix_hits(self, prompt):
+        """(cached phys pages, their hashes) for the longest cached
+        prefix; capped so at least one prompt token still prefills."""
+        if not self.enable_prefix_cache:
+            return [], []
+        max_pages = (len(prompt) - 1) // self.page_size
+        hashes = self._prompt_page_hashes(prompt)[:max_pages]
+        hit_pages, hit_hashes = [], []
+        for h in hashes:
+            phys = self._prefix_cache.get(h)
+            if phys is None:
+                break
+            hit_pages.append(phys)
+            hit_hashes.append(h)
+        return hit_pages, hit_hashes
+
+    def _evict_for(self, shortfall: int) -> None:
+        """Free refcount-0 cached pages (oldest registration first)
+        until `shortfall` pages are reclaimed or nothing evictable."""
+        victims = [p for p, rc in self._page_rc.items() if rc == 0]
+        for phys in victims[:max(0, shortfall)]:
+            h = self._page_hash.pop(phys)
+            del self._prefix_cache[h]
+            del self._page_rc[phys]
+            self.allocator.free([phys])
+
     def _admit(self) -> None:
         for slot in range(self.max_batch):
             if self.slots[slot] is not None or not self.waiting:
                 continue
             req = self.waiting[0]
-            need = -(-(len(req.prompt) + req.max_new_tokens)
-                     // self.page_size)
-            # submit() guarantees need <= max_pages_per_seq
+            total = -(-(len(req.prompt) + req.max_new_tokens)
+                      // self.page_size)
+            hit_pages, _ = self._prefix_hits(req.prompt)
+            need = total - len(hit_pages)
+            # submit() guarantees total <= max_pages_per_seq
+            if need > self.allocator.num_free:
+                self._evict_for(need - self.allocator.num_free)
             if need > self.allocator.num_free:
                 break  # no pages yet: wait for running seqs to retire
             self.waiting.pop(0)
-            pages = self.allocator.allocate(need)
+            for phys in hit_pages:
+                self._page_rc[phys] += 1
+            pages = hit_pages + self.allocator.allocate(need)
             self.slots[slot] = req
             self.slot_pages[slot] = pages
             self.slot_lens[slot] = 0
-            self._run_prefill(slot, req)
+            self._run_prefill(slot, req,
+                              hit_len=len(hit_pages) * self.page_size)
 
     def _block_table(self) -> jnp.ndarray:
         bt = np.full((self.max_batch, self.max_pages_per_seq), -1, np.int32)
@@ -395,7 +458,8 @@ class ServingEngine:
             mesh=self.mesh, model_axis=self.model_axis)
         return logits, jnp.stack(kvs), k_scales
 
-    def _run_prefill_chunked(self, slot: int, req: Request) -> None:
+    def _run_prefill_chunked(self, slot: int, req: Request,
+                             hit_len: int = 0) -> None:
         n = len(req.prompt)
         c = self.prefill_chunk
         bt = np.full((self.max_pages_per_seq,), -1, np.int32)
@@ -403,7 +467,10 @@ class ServingEngine:
         bt[:len(pages)] = pages
         bt = jnp.asarray(bt)
         logits = None
-        for off in range(0, n, c):
+        self.prefix_cache_hit_tokens += hit_len
+        # cached prefix pages already hold their KV: prefill starts at
+        # hit_len (chunked prefill attends to them as history)
+        for off in range(hit_len, n, c):
             chunk = req.prompt[off:off + c]
             tokens = np.zeros((1, c), np.int32)
             tokens[0, :len(chunk)] = chunk
@@ -413,10 +480,29 @@ class ServingEngine:
                 self.k_pages, self.k_scales)
         self.slot_lens[slot] = n
         req.output.append(int(self._host_sample(logits[0])))
+        if self.enable_prefix_cache:
+            self._register_prompt_pages(slot, req)
 
-    def _run_prefill(self, slot: int, req: Request) -> None:
+    def _register_prompt_pages(self, slot: int, req: Request) -> None:
+        """Content-register this request's FULL prompt pages (they now
+        hold computed KV); already-cached hashes keep their original
+        page (this request's copy stays private)."""
+        hashes = self._prompt_page_hashes(req.prompt)
+        for idx, h in enumerate(hashes):
+            phys = self.slot_pages[slot][idx]
+            if h in self._prefix_cache:
+                continue  # registered by an earlier request
+            if phys in self._page_rc:
+                continue  # this slot reused a cached page (rc held)
+            self._prefix_cache[h] = phys
+            self._page_hash[phys] = h
+            self._page_rc[phys] = 1
+
+    def _run_prefill(self, slot: int, req: Request,
+                     hit_len: int = 0) -> None:
         if self.prefill_chunk is not None:
-            return self._run_prefill_chunked(slot, req)
+            return self._run_prefill_chunked(slot, req, hit_len=hit_len)
+        assert hit_len == 0  # prefix cache requires chunked prefill
         n = len(req.prompt)
         pad_len = max(16, 1 << (n - 1).bit_length())  # pow2 buckets
         tokens = np.zeros((1, pad_len), np.int32)
@@ -547,7 +633,14 @@ class ServingEngine:
 
     def _retire(self, slot: int) -> None:
         self.finished.append(self.slots[slot])
-        self.allocator.free(self.slot_pages[slot])
+        cached, private = [], []
+        for phys in self.slot_pages[slot]:
+            if phys in self._page_rc:
+                self._page_rc[phys] -= 1
+                cached.append(phys)  # stays resident until evicted
+            else:
+                private.append(phys)
+        self.allocator.free(private)
         self.slots[slot] = None
         self.slot_pages[slot] = []
         self.slot_lens[slot] = 0
