@@ -679,6 +679,11 @@ def save_engine_state(eng: "ServingEngine", path: str) -> None:
         "next_id": eng._next_id,
         "rng_key": np.asarray(
             jax.random.key_data(eng._rng)).tolist(),
+        # prefix cache: without these, a resumed engine would free a
+        # still-shared page on first retire (double-free -> corruption)
+        "prefix_cache": dict(eng._prefix_cache),
+        "page_rc": {str(k): v for k, v in eng._page_rc.items()},
+        "prefix_hit_tokens": eng.prefix_cache_hit_tokens,
         # native (LIFO) order: resume must allocate pages in the same
         # order as the uninterrupted run, or the contiguous-run DMA
         # coalescing behavior diverges after resume (ADVICE r1)
@@ -729,4 +734,9 @@ def load_engine_state(eng: "ServingEngine", path: str) -> None:
     if "rng_key" in host:
         eng._rng = jax.random.wrap_key_data(
             jnp.asarray(host["rng_key"], jnp.uint32))
+    if "prefix_cache" in host:
+        eng._prefix_cache = dict(host["prefix_cache"])
+        eng._page_hash = {v: k for k, v in eng._prefix_cache.items()}
+        eng._page_rc = {int(k): v for k, v in host["page_rc"].items()}
+        eng.prefix_cache_hit_tokens = host.get("prefix_hit_tokens", 0)
     eng.allocator.set_free_list(host["free_pages"])

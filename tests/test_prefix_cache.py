@@ -107,3 +107,39 @@ def test_eviction_under_pool_pressure(params):
     # cache never exceeds the pool and stays consistent
     assert len(eng._prefix_cache) == len(eng._page_hash)
     assert all(rc >= 0 for rc in eng._page_rc.values())
+
+
+def test_checkpoint_resume_preserves_sharing(params):
+    """Resume mid-flight with two slots sharing cached pages: retiring
+    one must NOT free pages the other still uses (the cache maps persist
+    through save/load)."""
+    import tempfile
+
+    from aule_tpu.serving.engine import load_engine_state, save_engine_state
+
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, size=32).astype(np.int32)
+    a = np.concatenate([base, rng.integers(0, 256, size=5).astype(np.int32)])
+    b = np.concatenate([base, rng.integers(0, 256, size=7).astype(np.int32)])
+
+    want = []
+    for p, mnt in ((a, 3), (b, 8)):
+        e = _engine(params, cache=False)
+        e.submit(p, max_new_tokens=mnt)
+        want.append(e.run()[0].output)
+
+    eng = _engine(params, cache=True)
+    eng.submit(a, max_new_tokens=3)   # retires early
+    eng.submit(b, max_new_tokens=8)
+    for _ in range(2):                # both running, sharing base pages
+        eng.step()
+
+    with tempfile.TemporaryDirectory() as td:
+        save_engine_state(eng, td + "/ck")
+        fresh = _engine(params, cache=True)
+        load_engine_state(fresh, td + "/ck")
+        done = fresh.run()
+    assert sorted(len(r.output) for r in done) == [3, 8]
+    outs = {len(r.output): r.output for r in done}
+    assert outs[3] == want[0], (outs[3], want[0])
+    assert outs[8] == want[1], (outs[8], want[1])
