@@ -46,6 +46,14 @@ class Request:
     max_new_tokens: int
     eos_id: Optional[int] = None
     output: List[int] = dataclasses.field(default_factory=list)
+    # streaming: called as on_token(req_id, token) for every generated
+    # token, in order (not persisted by checkpoints)
+    on_token: Optional[Callable[[int, int], None]] = None
+
+    def _emit(self, tok: int) -> None:
+        self.output.append(tok)
+        if self.on_token is not None:
+            self.on_token(self.req_id, tok)
 
     @property
     def done(self) -> bool:
@@ -256,7 +264,9 @@ class ServingEngine:
     # -- public API ------------------------------------------------------
 
     def submit(self, prompt, max_new_tokens: int,
-               eos_id: Optional[int] = None) -> int:
+               eos_id: Optional[int] = None,
+               on_token: Optional[Callable[[int, int], None]] = None
+               ) -> int:
         prompt = np.asarray(prompt, np.int32)
         if prompt.size == 0:
             raise ValueError("empty prompt: nothing to prefill")
@@ -274,7 +284,8 @@ class ServingEngine:
                 f"sequence at {capacity} "
                 f"(min(max_pages_per_seq*page_size, max_seq_len)); "
                 f"lower max_new_tokens or raise the caps")
-        req = Request(self._next_id, prompt, max_new_tokens, eos_id)
+        req = Request(self._next_id, prompt, max_new_tokens, eos_id,
+                      on_token=on_token)
         self._next_id += 1
         self.waiting.append(req)
         return req.req_id
@@ -479,7 +490,7 @@ class ServingEngine:
                 jnp.asarray([len(chunk)], jnp.int32), bt,
                 self.k_pages, self.k_scales)
         self.slot_lens[slot] = n
-        req.output.append(int(self._host_sample(logits[0])))
+        req._emit(int(self._host_sample(logits[0])))
         if self.enable_prefix_cache:
             self._register_prompt_pages(slot, req)
 
@@ -518,8 +529,7 @@ class ServingEngine:
         # note: padded tail tokens scatter garbage beyond n, but
         # context_len = n hides them from decode
         self.slot_lens[slot] = n
-        next_tok = int(self._host_sample(logits[0, n - 1]))
-        req.output.append(next_tok)
+        req._emit(int(self._host_sample(logits[0, n - 1])))
 
     def _sample_dev(self, logits, key):
         """In-jit sampling: PRNG sampler when configured, else legacy."""
@@ -624,7 +634,7 @@ class ServingEngine:
                 self.slot_lens[s] = 0
                 continue
             for step in range(next_np.shape[0]):
-                req.output.append(int(next_np[step, s]))
+                req._emit(int(next_np[step, s]))
                 if req.done:
                     # eos overshoot: the cache holds a few garbage tokens
                     # past eos, but the request retires and frees them

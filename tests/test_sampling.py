@@ -89,3 +89,21 @@ def test_engine_rejects_both_sample_and_sampler(params):
                       num_pages=32, max_pages_per_seq=4, max_seq_len=64,
                       sample=lambda x: jnp.argmax(x, -1),
                       sampler=sampling.greedy())
+
+
+def test_streaming_on_token_callback(params):
+    """on_token fires once per generated token, in order, with the right
+    request ids, across prefill-first-token and multi-step decode."""
+    rng = np.random.default_rng(11)
+    eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256, decode_steps=4)
+    seen = {}
+    for n in (7, 11):
+        rid = eng.submit(
+            rng.integers(0, 256, size=n).astype(np.int32),
+            max_new_tokens=6,
+            on_token=lambda rid, tok: seen.setdefault(rid, []).append(tok))
+    done = eng.run()
+    for r in done:
+        assert seen[r.req_id] == r.output, (r.req_id, seen, r.output)
