@@ -36,7 +36,7 @@ from .ops.reference import (
 from .ops.rope import apply_rope, precompute_rope_frequencies
 from .ops.topk import gravity_attention, spatial_sort
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 logger = logging.getLogger("aule_tpu")
 
