@@ -49,6 +49,8 @@ class Request:
     # streaming: called as on_token(req_id, token) for every generated
     # token, in order (not persisted by checkpoints)
     on_token: Optional[Callable[[int, int], None]] = None
+    # per-request sampling temperature; 0 = greedy (the default)
+    temperature: float = 0.0
 
     def _emit(self, tok: int) -> None:
         self.output.append(tok)
@@ -144,6 +146,7 @@ class ServingEngine:
         if sample is not None and sampler is not None:
             raise ValueError("pass either sample= or sampler=, not both")
         self._sampler = sampler
+        self._legacy_sample = sample is not None
         self.sample = sample or (lambda logits: jnp.argmax(logits, -1))
         self._rng = jax.random.key(sample_seed)
 
@@ -265,8 +268,8 @@ class ServingEngine:
 
     def submit(self, prompt, max_new_tokens: int,
                eos_id: Optional[int] = None,
-               on_token: Optional[Callable[[int, int], None]] = None
-               ) -> int:
+               on_token: Optional[Callable[[int, int], None]] = None,
+               temperature: float = 0.0) -> int:
         prompt = np.asarray(prompt, np.int32)
         if prompt.size == 0:
             raise ValueError("empty prompt: nothing to prefill")
@@ -284,8 +287,13 @@ class ServingEngine:
                 f"sequence at {capacity} "
                 f"(min(max_pages_per_seq*page_size, max_seq_len)); "
                 f"lower max_new_tokens or raise the caps")
+        if temperature and (self._sampler is not None
+                            or getattr(self, "_legacy_sample", False)):
+            raise ValueError(
+                "per-request temperature composes with the default "
+                "sampler only; drop sampler=/sample= or temperature=")
         req = Request(self._next_id, prompt, max_new_tokens, eos_id,
-                      on_token=on_token)
+                      on_token=on_token, temperature=float(temperature))
         self._next_id += 1
         self.waiting.append(req)
         return req.req_id
@@ -490,7 +498,7 @@ class ServingEngine:
                 jnp.asarray([len(chunk)], jnp.int32), bt,
                 self.k_pages, self.k_scales)
         self.slot_lens[slot] = n
-        req._emit(int(self._host_sample(logits[0])))
+        req._emit(int(self._host_sample(logits[0], req.temperature)))
         if self.enable_prefix_cache:
             self._register_prompt_pages(slot, req)
 
@@ -529,23 +537,36 @@ class ServingEngine:
         # note: padded tail tokens scatter garbage beyond n, but
         # context_len = n hides them from decode
         self.slot_lens[slot] = n
-        req._emit(int(self._host_sample(logits[0, n - 1])))
+        req._emit(int(self._host_sample(logits[0, n - 1],
+                                        req.temperature)))
 
-    def _sample_dev(self, logits, key):
-        """In-jit sampling: PRNG sampler when configured, else legacy."""
+    def _sample_dev(self, logits, key, temps=None):
+        """In-jit sampling: engine-level PRNG sampler when configured;
+        otherwise per-request temperature (0 = greedy) — submit()'s
+        temperature= knob — falling back to the legacy callable."""
         if self._sampler is not None:
             return self._sampler(logits, key)
+        if temps is not None and not self._legacy_sample:
+            scaled = (logits.astype(jnp.float32)
+                      / jnp.maximum(temps, 1e-6)[:, None])
+            sampled = jax.random.categorical(key, scaled, axis=-1)
+            return jnp.where(temps > 0.0, sampled,
+                             jnp.argmax(logits, -1)).astype(jnp.int32)
         return self.sample(logits)
 
-    def _host_sample(self, logits):
+    def _host_sample(self, logits, temperature: float = 0.0):
         """Host-side sampling (prefill's first token)."""
-        if self._sampler is None:
-            return self.sample(logits)
-        self._rng, sub = jax.random.split(self._rng)
-        return self._sampler(logits, sub)
+        if self._sampler is not None:
+            self._rng, sub = jax.random.split(self._rng)
+            return self._sampler(logits, sub)
+        if temperature > 0.0 and not self._legacy_sample:
+            self._rng, sub = jax.random.split(self._rng)
+            return jax.random.categorical(
+                sub, logits.astype(jnp.float32) / temperature, axis=-1)
+        return self.sample(logits)
 
     def _decode_step(self, tokens, positions, bt, lens, k_pages, v_pages,
-                     k_scales, v_scales, key):
+                     k_scales, v_scales, key, temps):
         L = self.cfg.n_layers
         if self.layout == "fused":
             pools = [k_pages[i] for i in range(L)]
@@ -555,13 +576,13 @@ class ServingEngine:
                     self.cfg, self.rope_cos, self.rope_sin,
                     kv_scales=[k_scales[i] for i in range(L)],
                     mesh=self.mesh, model_axis=self.model_axis)
-                return (self._sample_dev(logits, key), jnp.stack(kvs), v_pages,
+                return (self._sample_dev(logits, key, temps), jnp.stack(kvs), v_pages,
                         new_lens, jnp.stack(scs), v_scales)
             logits, kvs, new_lens = self.model.decode_step_fused(
                 self.params, tokens, positions, pools, bt, lens,
                 self.cfg, self.rope_cos, self.rope_sin,
                 mesh=self.mesh, model_axis=self.model_axis)
-            return (self._sample_dev(logits, key), jnp.stack(kvs), v_pages,
+            return (self._sample_dev(logits, key, temps), jnp.stack(kvs), v_pages,
                     new_lens, k_scales, v_scales)
         if self.quantized:
             logits, kps, vps, new_lens, kss, vss = self.model.decode_step(
@@ -572,7 +593,7 @@ class ServingEngine:
                 k_scales=[k_scales[i] for i in range(L)],
                 v_scales=[v_scales[i] for i in range(L)],
                 mesh=self.mesh, model_axis=self.model_axis)
-            next_tokens = self._sample_dev(logits, key)
+            next_tokens = self._sample_dev(logits, key, temps)
             return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
                     jnp.stack(kss), jnp.stack(vss))
         logits, kps, vps, new_lens = self.model.decode_step(
@@ -581,18 +602,18 @@ class ServingEngine:
             [v_pages[i] for i in range(L)],
             bt, lens, self.cfg, self.rope_cos, self.rope_sin,
             mesh=self.mesh, model_axis=self.model_axis)
-        next_tokens = self._sample_dev(logits, key)
+        next_tokens = self._sample_dev(logits, key, temps)
         return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
                 k_scales, v_scales)
 
     def _decode_multi(self, tokens, positions, bt, lens, k_pages, v_pages,
-                      k_scales, v_scales, key, *, n_steps):
+                      k_scales, v_scales, key, temps, *, n_steps):
         """jit'd: n_steps decode steps in one dispatch (lax.scan)."""
         def body(carry, t):
             tok, pos, ln, kp, vp, ks, vs = carry
             nxt, kp, vp, new_ln, ks, vs = self._decode_step(
                 tok, pos, bt, ln, kp, vp, ks, vs,
-                jax.random.fold_in(key, t))
+                jax.random.fold_in(key, t), temps)
             return (nxt, pos + 1, new_ln, kp, vp, ks, vs), nxt
 
         init = (tokens, positions, lens, k_pages, v_pages,
@@ -611,6 +632,9 @@ class ServingEngine:
                 remaining.append(req.max_new_tokens - len(req.output))
         lens = jnp.asarray(self.slot_lens)
         self._rng, step_key = jax.random.split(self._rng)
+        temps = jnp.asarray([
+            (r.temperature if r is not None else 0.0)
+            for r in self.slots], jnp.float32)
         k = self.decode_steps
         multi = (k > 1 and not self.waiting and remaining
                  and min(remaining) >= k)
@@ -619,14 +643,14 @@ class ServingEngine:
              self.k_scales, self.v_scales) = self._decode_multi_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
-                step_key, n_steps=k)
+                step_key, temps, n_steps=k)
             next_np = np.asarray(toks)  # [k, max_batch]
         else:
             (next_tokens, self.k_pages, self.v_pages, new_lens,
              self.k_scales, self.v_scales) = self._decode_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
-                step_key)
+                step_key, temps)
             next_np = np.asarray(next_tokens)[None]
         self.slot_lens = np.asarray(new_lens).copy()
         for s, req in enumerate(self.slots):

@@ -107,3 +107,43 @@ def test_streaming_on_token_callback(params):
     done = eng.run()
     for r in done:
         assert seen[r.req_id] == r.output, (r.req_id, seen, r.output)
+
+
+def test_per_request_temperature_mixed_batch(params):
+    """Greedy (T=0) and sampled (T>0) requests co-scheduled in ONE batch:
+    the greedy request's output must equal a solo greedy run; the sampled
+    request is reproducible from the engine seed."""
+    rng = np.random.default_rng(13)
+    p_greedy = rng.integers(0, 256, size=7).astype(np.int32)
+    p_hot = rng.integers(0, 256, size=9).astype(np.int32)
+
+    solo = ServingEngine(params, CFG, max_batch=1, page_size=16,
+                         num_pages=64, max_pages_per_seq=8,
+                         max_seq_len=256)
+    solo.submit(p_greedy, max_new_tokens=6)
+    want_greedy = solo.run()[0].output
+
+    def run(seed):
+        eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256, sample_seed=seed)
+        rid_g = eng.submit(p_greedy, max_new_tokens=6)
+        rid_h = eng.submit(p_hot, max_new_tokens=6, temperature=1.5)
+        done = {r.req_id: r.output for r in eng.run()}
+        return done[rid_g], done[rid_h]
+
+    g1, h1 = run(5)
+    g2, h2 = run(5)
+    g3, h3 = run(6)
+    assert g1 == want_greedy and g2 == want_greedy and g3 == want_greedy
+    assert h1 == h2          # same seed -> reproducible
+    assert h1 != h3          # different seed -> differs (a.s.)
+
+
+def test_per_request_temperature_conflicts_with_sampler(params):
+    eng = ServingEngine(params, CFG, max_batch=1, page_size=16,
+                        num_pages=32, max_pages_per_seq=4, max_seq_len=64,
+                        sampler=sampling.greedy())
+    with pytest.raises(ValueError, match="temperature"):
+        eng.submit(np.arange(5, dtype=np.int32), max_new_tokens=2,
+                   temperature=0.7)
