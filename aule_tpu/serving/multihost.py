@@ -137,3 +137,84 @@ class EngineReplicaPool:
         self.stats.tokens += sum(len(r.output) for r in out)
         self.finished.extend(out)
         return sorted(out, key=lambda r: r.req_id)
+
+
+class MultiProcessServingPool:
+    """Process-per-replica serving: the deployable form of
+    EngineReplicaPool.
+
+    Spawns N worker processes (scripts/serving_worker.py), each owning a
+    complete engine replica (params, KV pool, allocator) and draining a
+    shared request queue; finished generations flow back over a result
+    queue.  Decode never crosses processes — only request/response
+    tuples do — which is exactly the DCN story on a real fleet (swap the
+    multiprocessing queues for an RPC transport; the worker loop is
+    identical).  Workers rebuild params from `model_seed`, standing in
+    for per-host checkpoint loading.
+
+    Chiefly a single-machine validation vehicle: with one TPU only one
+    process can own the chip, so tests run CPU replicas.
+    """
+
+    def __init__(self, num_workers: int, engine_kw: dict,
+                 model_seed: int = 0):
+        import multiprocessing as mp
+
+        self._ctx = mp.get_context("spawn")
+        self.req_q = self._ctx.Queue()
+        self.res_q = self._ctx.Queue()
+        import os
+        import sys
+        worker_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "..", "scripts")
+        sys.path.insert(0, os.path.abspath(worker_dir))
+        from serving_worker import worker_main
+
+        self.procs = [
+            self._ctx.Process(
+                target=worker_main,
+                args=(i, model_seed, engine_kw, self.req_q, self.res_q),
+                daemon=True)
+            for i in range(num_workers)
+        ]
+        for p in self.procs:
+            p.start()
+        self._next_id = 0
+        self._pending = 0
+
+    def submit(self, prompt, max_new_tokens: int,
+               eos_id: Optional[int] = None,
+               temperature: float = 0.0) -> int:
+        gid = self._next_id
+        self._next_id += 1
+        self.req_q.put((gid, np.asarray(prompt, np.int32).tolist(),
+                        max_new_tokens, eos_id, temperature))
+        self._pending += 1
+        return gid
+
+    def collect(self, timeout_s: float = 600.0):
+        """Block until every submitted request finishes; returns
+        {gid: (worker_id, output tokens)}."""
+        import queue as _q
+
+        out = {}
+        while self._pending:
+            try:
+                gid, wid, toks = self.res_q.get(timeout=timeout_s)
+            except _q.Empty:
+                raise TimeoutError(
+                    f"{self._pending} requests still pending")
+            if gid == "__worker_done__":
+                continue
+            out[gid] = (wid, toks)
+            self._pending -= 1
+        return out
+
+    def shutdown(self, timeout_s: float = 60.0) -> None:
+        for _ in self.procs:
+            self.req_q.put(None)
+        for p in self.procs:
+            p.join(timeout=timeout_s)
+            if p.is_alive():
+                p.terminate()

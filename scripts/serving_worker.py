@@ -1,0 +1,75 @@
+"""Worker process for the multi-process serving pool.
+
+Each worker owns a full engine replica (its own params, KV pool, page
+allocator) and drains a shared request queue — the process-per-host form
+of serving data parallelism (decode never crosses processes; only
+request/response tuples do).  On a real fleet each worker runs on its
+own host/chips and the queues sit behind any RPC transport; the loop
+below is byte-identical either way.
+
+Protocol (multiprocessing queues):
+  request:  (gid, prompt int32 list, max_new_tokens, eos_id, temperature)
+            or the sentinel None -> drain and exit
+  response: (gid, worker_id, output token list)
+
+The worker polls the queue between engine steps, so new requests join
+mid-flight (continuous batching across the fleet).
+"""
+
+import os
+import sys
+
+
+def worker_main(worker_id, model_seed, engine_kw, req_q, res_q):
+    # each process owns its own JAX runtime (CPU here; a real deployment
+    # points each worker at its host's TPU chips)
+    os.environ.setdefault("AULE_TPU_INTERPRET", "1")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from aule_tpu.models import llama
+    from aule_tpu.serving.engine import ServingEngine
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.key(model_seed))
+    eng = ServingEngine(params, cfg, **engine_kw)
+
+    gid_of = {}
+    draining = False
+    while True:
+        # admit everything currently queued (non-blocking)
+        while not draining:
+            try:
+                item = req_q.get_nowait()
+            except Exception:
+                break
+            if item is None:
+                draining = True
+                break
+            gid, prompt, mnt, eos, temp = item
+            lid = eng.submit(np.asarray(prompt, np.int32), mnt,
+                             eos_id=eos, temperature=temp)
+            gid_of[lid] = gid
+        if not eng.has_work():
+            if draining:
+                break
+            try:
+                item = req_q.get(timeout=0.2)
+            except Exception:
+                continue
+            if item is None:
+                draining = True
+                continue
+            gid, prompt, mnt, eos, temp = item
+            lid = eng.submit(np.asarray(prompt, np.int32), mnt,
+                             eos_id=eos, temperature=temp)
+            gid_of[lid] = gid
+        eng.step()
+        done, eng.finished = eng.finished, []
+        for r in done:
+            res_q.put((gid_of.pop(r.req_id), worker_id, list(r.output)))
+    res_q.put(("__worker_done__", worker_id, []))

@@ -82,3 +82,36 @@ def test_distributed_two_process_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multihost(2)
+
+
+@pytest.mark.slow
+def test_multiprocess_serving_pool():
+    """Process-per-replica serving: 2 spawned workers (each a full
+    engine) drain a shared queue; every greedy request's output matches
+    the single-engine oracle — the deployable DCN architecture, minus
+    only the RPC transport."""
+    from aule_tpu.serving.multihost import MultiProcessServingPool
+
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, 256, size=n).astype(np.int32)
+               for n in (5, 9, 7, 12)]
+    engine_kw = dict(max_batch=2, page_size=16, num_pages=64,
+                     max_pages_per_seq=8, max_seq_len=256)
+
+    want = []
+    for p in prompts:
+        eng = ServingEngine(llama.init_params(CFG, jax.random.key(0)),
+                            CFG, **engine_kw)
+        eng.submit(p, max_new_tokens=4)
+        want.append(eng.run()[0].output)
+
+    pool = MultiProcessServingPool(2, engine_kw, model_seed=0)
+    try:
+        gids = [pool.submit(p, max_new_tokens=4) for p in prompts]
+        got = pool.collect(timeout_s=420)
+    finally:
+        pool.shutdown()
+    workers_used = {got[g][0] for g in gids}
+    for g, w in zip(gids, want):
+        assert got[g][1] == w, (g, got[g], w)
+    assert len(workers_used) >= 1  # scheduling is load-driven
