@@ -86,11 +86,19 @@ class AuleConfig:
       AULE_TPU_BACKEND     = pallas | xla | numpy   (force backend)
       AULE_TPU_INTERPRET   = 1                      (Pallas interpreter mode)
       AULE_TPU_VERBOSE     = 1                      (per-call debug logs)
+      AULE_TPU_INT8_EXACT  = 1                      (int8 pools: exact
+                             dequant-then-bf16-matmul path instead of the
+                             ~2x-faster int8-MXU path with ~1% extra error)
     """
 
     backend: Optional[str] = None  # None = auto-detect
     interpret: bool = False
     verbose: bool = False
+    # int8 KV decode numerics: False (default) runs both decode matmuls
+    # on the int8 MXU with per-row q/p quantization (fast path); True
+    # forces exact scale-folded dequantization.  Per-call int8_matmul=
+    # overrides this.
+    int8_exact: bool = False
     # paged KV-cache defaults (reference: block_size=32, pool 512..8192
     # blocks, src/block_pool.zig:9-16; BASELINE decode config uses block=16)
     page_size: int = 16
@@ -104,6 +112,7 @@ class AuleConfig:
             backend=_env_str("AULE_TPU_BACKEND", None),
             interpret=_env_bool("AULE_TPU_INTERPRET", False),
             verbose=_env_bool("AULE_TPU_VERBOSE", False),
+            int8_exact=_env_bool("AULE_TPU_INT8_EXACT", False),
         )
 
 

@@ -126,6 +126,40 @@ _hf_registered = False
 PATCH_STATS = {"calls": 0}
 
 
+def _torch_to_jax(t):
+    """torch -> JAX, zero-copy via dlpack when the buffer is shareable
+    (CPU/contiguous/dlpack-supported dtype); else one host copy.  The
+    f32 upcast of r2 is gone — flash_attention handles f32/bf16/f16."""
+    t = t.detach().contiguous()
+    try:
+        return jnp.from_dlpack(t)
+    except Exception:
+        import torch
+
+        if t.dtype == torch.bfloat16:  # numpy has no bf16
+            return jnp.asarray(t.view(torch.uint16).numpy()).view(
+                jnp.bfloat16)
+        return jnp.asarray(t.numpy())
+
+
+def _jax_to_torch(x, like):
+    """JAX -> torch tensor with `like`'s dtype/device; dlpack zero-copy
+    when buffers are shareable, else one host copy."""
+    import torch
+
+    try:
+        return torch.from_dlpack(x).to(dtype=like.dtype,
+                                       device=like.device)
+    except Exception:
+        xn = np.asarray(jax.device_get(x))
+        if xn.dtype == jnp.bfloat16:
+            return torch.from_numpy(
+                xn.view(np.uint16)).view(torch.bfloat16).to(
+                    dtype=like.dtype, device=like.device)
+        return torch.from_numpy(xn).to(dtype=like.dtype,
+                                       device=like.device)
+
+
 def _aule_hf_attention(module, query, key, value, attention_mask,
                        dropout: float = 0.0, scaling=None, is_causal=None,
                        head_mask=None, **kwargs):
@@ -135,12 +169,19 @@ def _aule_hf_attention(module, query, key, value, attention_mask,
     Arguments outside aule's space (additive masks, dropout, head masks)
     defer to HF's sdpa implementation — the reference's fallback contract
     (python/aule/__init__.py:319-347).
+
+    INFERENCE-ONLY as an aule route: the JAX hop breaks torch autograd,
+    so any call that needs grads (torch grad mode on AND a q/k/v requires
+    grad) also defers to sdpa rather than silently detaching.
     """
     import torch
 
     unsupported = (attention_mask is not None or dropout
                    or head_mask is not None
-                   or kwargs.get("softcap") is not None)
+                   or kwargs.get("softcap") is not None
+                   or (torch.is_grad_enabled()
+                       and (query.requires_grad or key.requires_grad
+                            or value.requires_grad)))
     if unsupported:
         from transformers.integrations.sdpa_attention import (
             sdpa_attention_forward,
@@ -160,15 +201,14 @@ def _aule_hf_attention(module, query, key, value, attention_mask,
 
     from .. import flash_attention
 
-    qn, kn, vn = (t.detach().to(torch.float32).cpu().numpy()
-                  for t in (query, key, value))
+    qj, kj, vj = (_torch_to_jax(t) for t in (query, key, value))
     out = flash_attention(
-        qn, kn, vn, causal=causal, scale=scaling,
+        qj, kj, vj, causal=causal, scale=scaling,
         backend=PATCH_CONFIG["backend"] or _patch_backend)
     PATCH_STATS["calls"] += 1
-    out_t = torch.from_numpy(np.asarray(out)).to(
-        dtype=query.dtype, device=query.device)
-    return out_t.transpose(1, 2).contiguous(), None
+    # transpose in JAX so the dlpack handoff sees a contiguous buffer
+    out = jnp.swapaxes(jnp.asarray(out), 1, 2)
+    return _jax_to_torch(out, query), None
 
 
 def _register_hf_interface() -> None:

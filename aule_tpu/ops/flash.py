@@ -148,6 +148,8 @@ def _fwd_kernel(
     # (WRONG numerics; isolates mask-VPU cost from tier predication cost)
     import os as _os
     force_clean = _os.environ.get("AULE_FLASH_DEBUG_FORCE_CLEAN") == "1"
+    single_body = (_os.environ.get("AULE_FLASH_BODY", "tier") == "single"
+                   and not maskless_everywhere)
 
     def _tier_conds(kvo: int, width: int):
         """(live, interior) for the sub-chunk at static in-block offset kvo.
@@ -301,6 +303,19 @@ def _fwd_kernel(
             @pl.when(jnp.logical_and(live, jnp.logical_not(interior)))
             def _edge(c=c, kvo=kvo):
                 _softmax_update(not force_clean, s_scr[c % 2], kvo, bkvc)
+    elif single_body:
+        # One always-masked body per chunk (half the conditional regions
+        # of the interior/edge tier walk; Mosaic cost scales with body
+        # COUNT, not branch-taken frequency — the 9-body edge experiment
+        # measured 4.6x slower uniformly).  Trades ~3.5% mask VPU on
+        # interior chunks for the region overhead.
+        for c in range(n_sub):
+            kvo = c * bkvc
+            live, _ = _tier_conds(kvo, bkvc)
+
+            @pl.when(live)
+            def _one(kvo=kvo):
+                _body(not force_clean, kvo, bkvc)
     else:
         for c in range(n_sub):
             kvo = c * bkvc
@@ -352,6 +367,7 @@ def _pick_blocks(
     block_q: Optional[int],
     block_kv: Optional[int],
     block_kv_compute: Optional[int],
+    head_dim: int = 128,
 ) -> Tuple[int, int, int]:
     """Resolve (per-head block_q, block_kv DMA tile, compute chunk).
 
@@ -362,10 +378,16 @@ def _pick_blocks(
     clamped DMA tile (chip-validated: bf16 defaults blow scoped VMEM).
     """
     tiles = get_tile_config()
+    # D>128 scales every VMEM tile (q, acc, k/v DMA slabs) by D/128:
+    # shrink the row budget and the DMA tile to stay in the envelope the
+    # D=128 sweep validated (SURVEY quirk list: the reference caps D at
+    # 64/128 — attention_gpu.zig:402, README.md:205 — we template up to
+    # 256 instead).
+    d_scale = max(1, head_dim // 128)
     if block_q is not None:
         bq = block_q
     else:
-        rows_budget = tiles.block_q
+        rows_budget = tiles.block_q // d_scale
         if itemsize >= 4:
             rows_budget = min(rows_budget, 512)
         if window > 0:
@@ -377,7 +399,8 @@ def _pick_blocks(
         bq = max(8, _round_up(rows_budget // group, 8))
     bq = min(bq, _round_up(seq_q, 8))
 
-    bkv = block_kv or min(tiles.block_kv, _round_up(seq_k, 128))
+    bkv = block_kv or min(tiles.block_kv // d_scale,
+                          _round_up(seq_k, 128))
     bkv = min(bkv, _round_up(seq_k, 128))
     if block_kv is None and itemsize >= 4:
         bkv = min(bkv, _round_up(min(2048, seq_k), 128))
@@ -435,7 +458,7 @@ def flash_attention_fwd(
 
     bq, bkv, bkvc = _pick_blocks(
         seq_q, seq_k, group, jnp.dtype(q.dtype).itemsize, window,
-        block_q, block_kv, block_kv_compute,
+        block_q, block_kv, block_kv_compute, head_dim=d,
     )
 
     sq_pad = _round_up(seq_q, bq)

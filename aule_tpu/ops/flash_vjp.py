@@ -284,16 +284,26 @@ def _dkv_kernel(
 
 def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
               dlse=None, interpret=None):
+    grad_cast = None
+    if q.dtype == jnp.float16:
+        # Mirror the forward's f16 guard (flash.py:427-432): Mosaic has
+        # no f16 vector type on TPU, so compute the backward in f32 and
+        # cast the grads back to the caller's dtype.
+        grad_cast = jnp.float16
+        q, k, v, o, do = (x.astype(jnp.float32)
+                          for x in (q, k, v, o, do))
     batch, hq, seq_q, d = q.shape
     hkv, seq_k = k.shape[1], k.shape[2]
     group = hq // hkv
 
     tiles = get_tile_config()
     # tile table rows are a TOTAL q-row budget per grid step; per-head
-    # blocks shrink with the GQA group (see flash.py._pick_blocks)
-    bq = max(8, _round_up(tiles.block_q_dq // group, 8))
+    # blocks shrink with the GQA group (see flash.py._pick_blocks), and
+    # D>128 scales every VMEM tile by D/128 (see _pick_blocks)
+    d_scale = max(1, d // 128)
+    bq = max(8, _round_up(tiles.block_q_dq // (group * d_scale), 8))
     bq = min(bq, _round_up(seq_q, 8))
-    bkv = min(tiles.block_kv_dkv, _round_up(seq_k, 128))
+    bkv = min(tiles.block_kv_dkv // d_scale, _round_up(seq_k, 128))
 
     sq_pad = _round_up(seq_q, bq)
     sk_pad = _round_up(seq_k, bkv)
@@ -422,7 +432,10 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, dip)
 
-    return dq[:, :, :seq_q], dk[:, :, :seq_k], dv[:, :, :seq_k]
+    dq, dk, dv = dq[:, :, :seq_q], dk[:, :, :seq_k], dv[:, :, :seq_k]
+    if grad_cast is not None:
+        dq, dk, dv = (x.astype(grad_cast) for x in (dq, dk, dv))
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -424,8 +424,10 @@ def paged_attention_fused(
         raise ValueError(
             f"kv_scales must be packed {(num_pages, sr, NUM_LANES)} "
             f"(see pack_fused_scales), got {kv_scales.shape}")
+    if int8_matmul is None:
+        int8_matmul = not get_config().int8_exact
     int8_path = bool(quantized and kv_pages.dtype == jnp.int8
-                     and int8_matmul is not False)
+                     and int8_matmul)
 
     # Mosaic has no mixed-dtype matmul: align q to the pool dtype on the
     # unquantized path (q is tiny; the pools are not).

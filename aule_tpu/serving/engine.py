@@ -39,6 +39,32 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
+def _restrict_rows(scaled, tks, tps):
+    """Apply per-row top-k / top-p restrictions to already
+    temperature-scaled logits [B, V].  tks int32 [B] (0 = off) keeps the
+    k highest logits per row; tps f32 [B] (0 = off) keeps the smallest
+    prefix of the softmax with mass >= p (always >= 1 token).  One
+    descending sort serves both cutoffs."""
+    v = scaled.shape[-1]
+    srt = jnp.sort(scaled, axis=-1)[..., ::-1]
+    cutoff = jnp.full(scaled.shape[:-1] + (1,), -jnp.inf, jnp.float32)
+    if tks is not None:
+        k_idx = jnp.clip(tks[:, None] - 1, 0, v - 1)
+        k_cut = jnp.take_along_axis(srt, k_idx, axis=-1)
+        cutoff = jnp.maximum(
+            cutoff, jnp.where(tks[:, None] > 0, k_cut, -jnp.inf))
+    if tps is not None:
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        p_idx = jnp.sum((cum < tps[:, None]).astype(jnp.int32), axis=-1,
+                        keepdims=True)
+        p_cut = jnp.take_along_axis(srt, jnp.clip(p_idx, 0, v - 1),
+                                    axis=-1)
+        cutoff = jnp.maximum(
+            cutoff, jnp.where(tps[:, None] > 0.0, p_cut, -jnp.inf))
+    return jnp.where(scaled >= cutoff, scaled, -jnp.inf)
+
+
 @dataclasses.dataclass
 class Request:
     req_id: int
@@ -49,8 +75,13 @@ class Request:
     # streaming: called as on_token(req_id, token) for every generated
     # token, in order (not persisted by checkpoints)
     on_token: Optional[Callable[[int, int], None]] = None
-    # per-request sampling temperature; 0 = greedy (the default)
+    # per-request sampling: temperature 0 = greedy (the default);
+    # top_k 0 = unrestricted; top_p 0 = unrestricted.  top_k/top_p
+    # restrict the distribution only when temperature > 0 (greedy
+    # already picks the argmax, which every restriction keeps).
     temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 0.0
 
     def _emit(self, tok: int) -> None:
         self.output.append(tok)
@@ -101,7 +132,13 @@ class ServingEngine:
         engine-replica-level, each replica owning its own pool and
         request queue).  The fused layout shards the pool's kv-head dim,
         so each shard's pages stay one-DMA local and TP serving rides
-        the fast kernel (r1 forced the slower split layout here)."""
+        the fast kernel (r1 forced the slower split layout here).
+
+        quantized=True (int8) decodes on the int8 MXU by default:
+        both matmuls run s8xs8->s32 with per-row q/p quantization,
+        ~2x bf16 tok/s at ~1% extra error vs the exact dequant path.
+        Set AULE_TPU_INT8_EXACT=1 (or config.int8_exact=True) before
+        constructing the engine for bit-exact scale-folded dequant."""
         self.params = params
         self.cfg = cfg
         # model family module (models/llama.py interface: forward,
@@ -269,7 +306,8 @@ class ServingEngine:
     def submit(self, prompt, max_new_tokens: int,
                eos_id: Optional[int] = None,
                on_token: Optional[Callable[[int, int], None]] = None,
-               temperature: float = 0.0) -> int:
+               temperature: float = 0.0, top_k: int = 0,
+               top_p: float = 0.0) -> int:
         prompt = np.asarray(prompt, np.int32)
         if prompt.size == 0:
             raise ValueError("empty prompt: nothing to prefill")
@@ -287,13 +325,20 @@ class ServingEngine:
                 f"sequence at {capacity} "
                 f"(min(max_pages_per_seq*page_size, max_seq_len)); "
                 f"lower max_new_tokens or raise the caps")
-        if temperature and (self._sampler is not None
-                            or getattr(self, "_legacy_sample", False)):
+        if (temperature or top_k or top_p) and (
+                self._sampler is not None
+                or getattr(self, "_legacy_sample", False)):
             raise ValueError(
-                "per-request temperature composes with the default "
-                "sampler only; drop sampler=/sample= or temperature=")
+                "per-request sampling params compose with the default "
+                "sampler only; drop sampler=/sample= or "
+                "temperature=/top_k=/top_p=")
+        if top_p and not 0.0 < top_p <= 1.0:
+            raise ValueError("top_p must be in (0, 1] (0 disables)")
+        if top_k < 0:
+            raise ValueError("top_k must be >= 0 (0 disables)")
         req = Request(self._next_id, prompt, max_new_tokens, eos_id,
-                      on_token=on_token, temperature=float(temperature))
+                      on_token=on_token, temperature=float(temperature),
+                      top_k=int(top_k), top_p=float(top_p))
         self._next_id += 1
         self.waiting.append(req)
         return req.req_id
@@ -370,14 +415,21 @@ class ServingEngine:
                       // self.page_size)
             hit_pages, _ = self._prefix_hits(req.prompt)
             need = total - len(hit_pages)
+            # Pin the hit pages BEFORE any eviction: _evict_for frees
+            # refcount-0 cached pages oldest-first, which would otherwise
+            # include the very pages this request is about to reuse
+            # (freeing them crashes the rc bump; re-allocating them would
+            # alias the same phys page twice in the block table).
+            for phys in hit_pages:
+                self._page_rc[phys] += 1
             # submit() guarantees total <= max_pages_per_seq
             if need > self.allocator.num_free:
                 self._evict_for(need - self.allocator.num_free)
             if need > self.allocator.num_free:
+                for phys in hit_pages:  # unpin: admission deferred
+                    self._page_rc[phys] -= 1
                 break  # no pages yet: wait for running seqs to retire
             self.waiting.pop(0)
-            for phys in hit_pages:
-                self._page_rc[phys] += 1
             pages = hit_pages + self.allocator.allocate(need)
             self.slots[slot] = req
             self.slot_pages[slot] = pages
@@ -498,7 +550,8 @@ class ServingEngine:
                 jnp.asarray([len(chunk)], jnp.int32), bt,
                 self.k_pages, self.k_scales)
         self.slot_lens[slot] = n
-        req._emit(int(self._host_sample(logits[0], req.temperature)))
+        req._emit(int(self._host_sample(
+            logits[0], req.temperature, req.top_k, req.top_p)))
         if self.enable_prefix_cache:
             self._register_prompt_pages(slot, req)
 
@@ -537,36 +590,51 @@ class ServingEngine:
         # note: padded tail tokens scatter garbage beyond n, but
         # context_len = n hides them from decode
         self.slot_lens[slot] = n
-        req._emit(int(self._host_sample(logits[0, n - 1],
-                                        req.temperature)))
+        req._emit(int(self._host_sample(logits[0, n - 1], req.temperature,
+                                        req.top_k, req.top_p)))
 
-    def _sample_dev(self, logits, key, temps=None):
+    def _sample_dev(self, logits, key, temps=None, tks=None, tps=None):
         """In-jit sampling: engine-level PRNG sampler when configured;
-        otherwise per-request temperature (0 = greedy) — submit()'s
-        temperature= knob — falling back to the legacy callable."""
+        otherwise per-request (temperature, top_k, top_p) — submit()'s
+        knobs — falling back to the legacy callable.
+
+        tks/tps are None (a static pytree shape, so the temperature-only
+        executable skips the vocab sort entirely) unless some running
+        request restricts its distribution; then rows compose
+        independently: row-wise scale by temperature, cut to the k
+        highest and/or the nucleus with mass >= p, sample; temp 0 rows
+        stay exact-greedy."""
         if self._sampler is not None:
             return self._sampler(logits, key)
         if temps is not None and not self._legacy_sample:
             scaled = (logits.astype(jnp.float32)
                       / jnp.maximum(temps, 1e-6)[:, None])
+            if tks is not None or tps is not None:
+                scaled = _restrict_rows(scaled, tks, tps)
             sampled = jax.random.categorical(key, scaled, axis=-1)
             return jnp.where(temps > 0.0, sampled,
                              jnp.argmax(logits, -1)).astype(jnp.int32)
         return self.sample(logits)
 
-    def _host_sample(self, logits, temperature: float = 0.0):
+    def _host_sample(self, logits, temperature: float = 0.0,
+                     top_k: int = 0, top_p: float = 0.0):
         """Host-side sampling (prefill's first token)."""
         if self._sampler is not None:
             self._rng, sub = jax.random.split(self._rng)
             return self._sampler(logits, sub)
         if temperature > 0.0 and not self._legacy_sample:
             self._rng, sub = jax.random.split(self._rng)
-            return jax.random.categorical(
-                sub, logits.astype(jnp.float32) / temperature, axis=-1)
+            scaled = logits.astype(jnp.float32)[None] / temperature
+            if top_k or top_p:
+                scaled = _restrict_rows(
+                    scaled,
+                    jnp.asarray([top_k], jnp.int32) if top_k else None,
+                    jnp.asarray([top_p], jnp.float32) if top_p else None)
+            return jax.random.categorical(sub, scaled[0], axis=-1)
         return self.sample(logits)
 
     def _decode_step(self, tokens, positions, bt, lens, k_pages, v_pages,
-                     k_scales, v_scales, key, temps):
+                     k_scales, v_scales, key, temps, tks=None, tps=None):
         L = self.cfg.n_layers
         if self.layout == "fused":
             pools = [k_pages[i] for i in range(L)]
@@ -576,13 +644,13 @@ class ServingEngine:
                     self.cfg, self.rope_cos, self.rope_sin,
                     kv_scales=[k_scales[i] for i in range(L)],
                     mesh=self.mesh, model_axis=self.model_axis)
-                return (self._sample_dev(logits, key, temps), jnp.stack(kvs), v_pages,
+                return (self._sample_dev(logits, key, temps, tks, tps), jnp.stack(kvs), v_pages,
                         new_lens, jnp.stack(scs), v_scales)
             logits, kvs, new_lens = self.model.decode_step_fused(
                 self.params, tokens, positions, pools, bt, lens,
                 self.cfg, self.rope_cos, self.rope_sin,
                 mesh=self.mesh, model_axis=self.model_axis)
-            return (self._sample_dev(logits, key, temps), jnp.stack(kvs), v_pages,
+            return (self._sample_dev(logits, key, temps, tks, tps), jnp.stack(kvs), v_pages,
                     new_lens, k_scales, v_scales)
         if self.quantized:
             logits, kps, vps, new_lens, kss, vss = self.model.decode_step(
@@ -593,7 +661,7 @@ class ServingEngine:
                 k_scales=[k_scales[i] for i in range(L)],
                 v_scales=[v_scales[i] for i in range(L)],
                 mesh=self.mesh, model_axis=self.model_axis)
-            next_tokens = self._sample_dev(logits, key, temps)
+            next_tokens = self._sample_dev(logits, key, temps, tks, tps)
             return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
                     jnp.stack(kss), jnp.stack(vss))
         logits, kps, vps, new_lens = self.model.decode_step(
@@ -602,18 +670,19 @@ class ServingEngine:
             [v_pages[i] for i in range(L)],
             bt, lens, self.cfg, self.rope_cos, self.rope_sin,
             mesh=self.mesh, model_axis=self.model_axis)
-        next_tokens = self._sample_dev(logits, key, temps)
+        next_tokens = self._sample_dev(logits, key, temps, tks, tps)
         return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
                 k_scales, v_scales)
 
     def _decode_multi(self, tokens, positions, bt, lens, k_pages, v_pages,
-                      k_scales, v_scales, key, temps, *, n_steps):
+                      k_scales, v_scales, key, temps, tks=None, tps=None,
+                      *, n_steps):
         """jit'd: n_steps decode steps in one dispatch (lax.scan)."""
         def body(carry, t):
             tok, pos, ln, kp, vp, ks, vs = carry
             nxt, kp, vp, new_ln, ks, vs = self._decode_step(
                 tok, pos, bt, ln, kp, vp, ks, vs,
-                jax.random.fold_in(key, t), temps)
+                jax.random.fold_in(key, t), temps, tks, tps)
             return (nxt, pos + 1, new_ln, kp, vp, ks, vs), nxt
 
         init = (tokens, positions, lens, k_pages, v_pages,
@@ -635,6 +704,16 @@ class ServingEngine:
         temps = jnp.asarray([
             (r.temperature if r is not None else 0.0)
             for r in self.slots], jnp.float32)
+        # top-k/top-p ride as None (static) unless some running request
+        # restricts — the common temperature-only executable never pays
+        # the in-jit vocab sort
+        tk_list = [(r.top_k if r is not None else 0) for r in self.slots]
+        tp_list = [(r.top_p if r is not None else 0.0)
+                   for r in self.slots]
+        tks = (jnp.asarray(tk_list, jnp.int32)
+               if any(tk_list) else None)
+        tps = (jnp.asarray(tp_list, jnp.float32)
+               if any(tp_list) else None)
         k = self.decode_steps
         multi = (k > 1 and not self.waiting and remaining
                  and min(remaining) >= k)
@@ -643,14 +722,14 @@ class ServingEngine:
              self.k_scales, self.v_scales) = self._decode_multi_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
-                step_key, temps, n_steps=k)
+                step_key, temps, tks, tps, n_steps=k)
             next_np = np.asarray(toks)  # [k, max_batch]
         else:
             (next_tokens, self.k_pages, self.v_pages, new_lens,
              self.k_scales, self.v_scales) = self._decode_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
-                step_key, temps)
+                step_key, temps, tks, tps)
             next_np = np.asarray(next_tokens)[None]
         self.slot_lens = np.asarray(new_lens).copy()
         for s, req in enumerate(self.slots):
@@ -702,7 +781,8 @@ def save_engine_state(eng: "ServingEngine", path: str) -> None:
         return None if r is None else {
             "req_id": r.req_id, "prompt": np.asarray(r.prompt).tolist(),
             "max_new_tokens": r.max_new_tokens, "eos_id": r.eos_id,
-            "output": list(r.output)}
+            "output": list(r.output), "temperature": r.temperature,
+            "top_k": r.top_k, "top_p": r.top_p}
 
     host = {
         "slots": [req(r) for r in eng.slots],
@@ -755,7 +835,9 @@ def load_engine_state(eng: "ServingEngine", path: str) -> None:
         if d is None:
             return None
         r = Request(d["req_id"], np.asarray(d["prompt"], np.int32),
-                    d["max_new_tokens"], d["eos_id"])
+                    d["max_new_tokens"], d["eos_id"],
+                    temperature=d.get("temperature", 0.0),
+                    top_k=d.get("top_k", 0), top_p=d.get("top_p", 0.0))
         r.output.extend(d["output"])
         return r
 

@@ -80,29 +80,34 @@ class EngineReplicaPool:
         if not engines:
             raise ValueError("need at least one engine replica")
         self.engines = engines
-        self.queue: List[tuple] = []   # (prompt, max_new_tokens, eos_id)
+        # (gid, prompt, max_new_tokens, eos_id, sampling-params dict)
+        self.queue: List[tuple] = []
         self.finished: List[Request] = []
         self._next_id = 0
         self._id_map: dict = {}        # (replica, local_id) -> global_id
         self.stats = PoolStats()
 
     def submit(self, prompt, max_new_tokens: int,
-               eos_id: Optional[int] = None) -> int:
+               eos_id: Optional[int] = None,
+               on_token=None, temperature: float = 0.0,
+               top_k: int = 0, top_p: float = 0.0) -> int:
         gid = self._next_id
         self._next_id += 1
         self.queue.append((gid, np.asarray(prompt, np.int32),
-                           max_new_tokens, eos_id))
+                           max_new_tokens, eos_id,
+                           dict(on_token=on_token, temperature=temperature,
+                                top_k=top_k, top_p=top_p)))
         return gid
 
     def _try_dispatch(self) -> None:
         while self.queue:
-            gid, prompt, mnt, eos = self.queue[0]
+            gid, prompt, mnt, eos, samp = self.queue[0]
             for ri, eng in enumerate(self.engines):
                 free_slot = any(s is None for s in eng.slots)
                 need = -(-(len(prompt) + mnt) // eng.page_size)
                 if free_slot and not eng.waiting \
                         and need <= eng.allocator.num_free:
-                    lid = eng.submit(prompt, mnt, eos)
+                    lid = eng.submit(prompt, mnt, eos, **samp)
                     self._id_map[(ri, lid)] = gid
                     break
             else:
@@ -185,11 +190,14 @@ class MultiProcessServingPool:
 
     def submit(self, prompt, max_new_tokens: int,
                eos_id: Optional[int] = None,
-               temperature: float = 0.0) -> int:
+               temperature: float = 0.0, top_k: int = 0,
+               top_p: float = 0.0) -> int:
         gid = self._next_id
         self._next_id += 1
         self.req_q.put((gid, np.asarray(prompt, np.int32).tolist(),
-                        max_new_tokens, eos_id, temperature))
+                        max_new_tokens, eos_id,
+                        {"temperature": temperature, "top_k": top_k,
+                         "top_p": top_p}))
         self._pending += 1
         return gid
 

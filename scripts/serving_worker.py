@@ -8,8 +8,9 @@ own host/chips and the queues sit behind any RPC transport; the loop
 below is byte-identical either way.
 
 Protocol (multiprocessing queues):
-  request:  (gid, prompt int32 list, max_new_tokens, eos_id, temperature)
-            or the sentinel None -> drain and exit
+  request:  (gid, prompt int32 list, max_new_tokens, eos_id,
+             {temperature, top_k, top_p}) or the sentinel None ->
+            drain and exit
   response: (gid, worker_id, output token list)
 
 The worker polls the queue between engine steps, so new requests join
@@ -50,9 +51,9 @@ def worker_main(worker_id, model_seed, engine_kw, req_q, res_q):
             if item is None:
                 draining = True
                 break
-            gid, prompt, mnt, eos, temp = item
+            gid, prompt, mnt, eos, samp = item
             lid = eng.submit(np.asarray(prompt, np.int32), mnt,
-                             eos_id=eos, temperature=temp)
+                             eos_id=eos, **samp)
             gid_of[lid] = gid
         if not eng.has_work():
             if draining:
@@ -64,9 +65,9 @@ def worker_main(worker_id, model_seed, engine_kw, req_q, res_q):
             if item is None:
                 draining = True
                 continue
-            gid, prompt, mnt, eos, temp = item
+            gid, prompt, mnt, eos, samp = item
             lid = eng.submit(np.asarray(prompt, np.int32), mnt,
-                             eos_id=eos, temperature=temp)
+                             eos_id=eos, **samp)
             gid_of[lid] = gid
         eng.step()
         done, eng.finished = eng.finished, []

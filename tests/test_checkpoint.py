@@ -68,3 +68,46 @@ def test_engine_checkpoint_resume(tmp_path):
     load_engine_state(eng2, str(tmp_path / "ck"))
     got = [r.output for r in eng2.run()]
     assert got == want, (got, want)
+
+
+def test_engine_checkpoint_preserves_sampling_params(tmp_path):
+    """Resume a mixed-sampling batch (greedy + temperature + top_k/p):
+    token-identical to the uninterrupted run (the per-request
+    temperature/top_k/top_p and the RNG key all round-trip)."""
+    from aule_tpu.serving.engine import (
+        ServingEngine,
+        load_engine_state,
+        save_engine_state,
+    )
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, 256, size=n).astype(np.int32)
+               for n in (9, 13, 7)]
+    kws = [dict(temperature=0.0),
+           dict(temperature=1.3),
+           dict(temperature=0.9, top_k=5, top_p=0.9)]
+
+    def make():
+        return ServingEngine(params, cfg, max_batch=3, page_size=16,
+                             num_pages=64, max_pages_per_seq=8,
+                             max_seq_len=256, decode_steps=1,
+                             sample_seed=3)
+
+    eng = make()
+    for p, kw in zip(prompts, kws):
+        eng.submit(p, max_new_tokens=8, **kw)
+    want = [r.output for r in eng.run()]
+
+    eng1 = make()
+    for p, kw in zip(prompts, kws):
+        eng1.submit(p, max_new_tokens=8, **kw)
+    for _ in range(3):
+        eng1.step()
+    save_engine_state(eng1, str(tmp_path / "ck"))
+
+    eng2 = make()
+    load_engine_state(eng2, str(tmp_path / "ck"))
+    got = [r.output for r in eng2.run()]
+    assert got == want, (got, want)

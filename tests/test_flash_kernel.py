@@ -42,7 +42,7 @@ def fwd(q, k, v, **kw):
 
 
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("head_dim", [64, 128])
+@pytest.mark.parametrize("head_dim", [64, 128, 256])
 def test_fwd_basic(causal, head_dim):
     q, k, v = random_qkv(2, 2, 256, head_dim)
     got, _ = fwd(q, k, v, causal=causal)
@@ -196,6 +196,32 @@ def test_fwd_float16():
     assert_close(got.astype(np.float32), want, 1e-2, 1e-2, "f16")
 
 
+def test_bwd_float16():
+    """f16 grads: the backward mirrors the forward's f32 upcast (Mosaic
+    has no f16 vector type on TPU) and casts dq/dk/dv back to f16."""
+    q, k, v = random_qkv(1, 4, 256, 64, heads_kv=2)
+    qh, kh, vh = (jnp.asarray(x, jnp.float16) for x in (q, k, v))
+
+    def loss(fn, q, k, v):
+        out = fn(q, k, v).astype(jnp.float32)
+        w = jnp.arange(out.size).reshape(out.shape).astype(jnp.float32)
+        return jnp.sum(out * w * 1e-3)
+
+    dq, dk, dv = jax.grad(
+        lambda q, k, v: loss(
+            lambda *a: flash_attention_vjp(*a, causal=True), q, k, v),
+        argnums=(0, 1, 2))(qh, kh, vh)
+    assert dq.dtype == jnp.float16
+    rq, rk, rv = jax.grad(
+        lambda q, k, v: loss(
+            lambda *a: attention_reference(*a, causal=True), q, k, v),
+        argnums=(0, 1, 2))(qh.astype(jnp.float32), kh.astype(jnp.float32),
+                           vh.astype(jnp.float32))
+    assert_close(np.asarray(dq, np.float32), rq, 2e-2, 2e-2, "f16 dq")
+    assert_close(np.asarray(dk, np.float32), rk, 2e-2, 2e-2, "f16 dk")
+    assert_close(np.asarray(dv, np.float32), rv, 2e-2, 2e-2, "f16 dv")
+
+
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
@@ -288,3 +314,30 @@ def test_training_step_loss_decreases():
     params = jax.tree.map(lambda p, gr: p - 0.5 * gr, params, g)
     l1 = loss_fn(params)
     assert float(l1) < float(l0)
+
+
+def test_fwd_d256_gqa_bf16():
+    """D=256 end-to-end (SURVEY quirk list: the reference caps head_dim
+    at 64 Vulkan / 128 Triton; we template D in {64,128,256})."""
+    q, k, v = random_qkv(1, 8, 512, 256, heads_kv=2)
+    got, _ = fwd(q.astype(np.float32), k.astype(np.float32),
+                 v.astype(np.float32), causal=True)
+    want = attention_reference_numpy(q, k, v, causal=True)
+    assert_close(got, want, *F32_TOL, "d256 gqa")
+
+
+def test_bwd_d256():
+    q, k, v = random_qkv(1, 4, 256, 256, heads_kv=2)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    dq, dk, dv = _grads(
+        lambda q, k, v: flash_attention_vjp(q, k, v, causal=True), q, k, v
+    )
+    rq, rk, rv = _grads(
+        lambda q, k, v: attention_reference(q, k, v, causal=True), q, k, v
+    )
+    # 2x-longer contractions than D=128 double the f32 rounding walk;
+    # keep the chip tolerance, widen the interpret floor accordingly
+    tol = (max(BWD_TOL[0], 5e-4), max(BWD_TOL[1], 5e-4))
+    assert_close(dq, rq, *tol, "d256 dq")
+    assert_close(dk, rk, *tol, "d256 dk")
+    assert_close(dv, rv, *tol, "d256 dv")

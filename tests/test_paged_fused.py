@@ -30,9 +30,10 @@ def test_layout_roundtrip():
     np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
 
 
-@pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2), (16, 4)])
-def test_fused_matches_oracle(hq, hkv):
-    batch, d, page = 4, 64, 16
+@pytest.mark.parametrize("hq,hkv,d", [(4, 4, 64), (8, 2, 64),
+                                      (16, 4, 64), (8, 2, 256)])
+def test_fused_matches_oracle(hq, hkv, d):
+    batch, page = 4, 16
     ctx = np.array([37, 128, 5, 250], np.int32)
     k_pages, v_pages, bt = make_cache(batch, hkv, d, 128, page, 16, ctx)
     q = np.random.default_rng(1).standard_normal((batch, hq, d)).astype(

@@ -143,3 +143,34 @@ def test_checkpoint_resume_preserves_sharing(params):
     outs = {len(r.output): r.output for r in done}
     assert outs[3] == want[0], (outs[3], want[0])
     assert outs[8] == want[1], (outs[8], want[1])
+
+
+def test_resubmitted_prompt_survives_eviction_pressure(params):
+    """Regression (ADVICE r2 high): _admit must pin a request's cached
+    hit pages BEFORE evicting for the shortfall — otherwise _evict_for
+    frees the rc-0 hit pages themselves (KeyError on the rc bump, or
+    worse, the same phys page aliased twice in the block table)."""
+    rng = np.random.default_rng(11)
+    eng = _engine(params, cache=True, num_pages=9)  # 8 usable pages
+    a = rng.integers(0, 256, size=35).astype(np.int32)  # 2 full pages
+
+    ref = _engine(params, cache=False, num_pages=64)
+    ref.submit(a, max_new_tokens=4)
+    want_a = ref.run()[0].output
+    ref2 = _engine(params, cache=False, num_pages=64)
+    ref2.submit(a, max_new_tokens=45)
+    want_a_long = ref2.run()[0].output
+
+    eng.submit(a, max_new_tokens=4)
+    assert eng.run()[0].output == want_a
+    for i in range(2):  # fill the cache with other prompts (rc 0)
+        p = rng.integers(0, 256, size=35).astype(np.int32)
+        eng.submit(p, max_new_tokens=4)
+        eng.run()
+    # 6 cached rc-0 pages, 2 free.  Resubmit `a` needing 5 pages: 2 are
+    # cache hits, shortfall 1 forces eviction while the hits are rc 0.
+    eng.submit(a, max_new_tokens=45)
+    out = eng.run()[0].output
+    assert out == want_a_long, (out, want_a_long)
+    assert all(rc >= 0 for rc in eng._page_rc.values())
+    assert len(eng._prefix_cache) == len(eng._page_hash)

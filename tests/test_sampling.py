@@ -147,3 +147,71 @@ def test_per_request_temperature_conflicts_with_sampler(params):
     with pytest.raises(ValueError, match="temperature"):
         eng.submit(np.arange(5, dtype=np.int32), max_new_tokens=2,
                    temperature=0.7)
+
+
+def test_per_request_topk_forces_greedy(params):
+    """top_k=1 (or a tiny top_p nucleus) collapses sampling to argmax
+    even at high temperature — a determinism check that the per-row
+    restrictions really apply to the right rows."""
+    rng = np.random.default_rng(21)
+    prompt = rng.integers(0, 256, size=9).astype(np.int32)
+
+    solo = ServingEngine(params, CFG, max_batch=1, page_size=16,
+                         num_pages=64, max_pages_per_seq=8,
+                         max_seq_len=256)
+    solo.submit(prompt, max_new_tokens=6)
+    want = solo.run()[0].output
+
+    eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256, sample_seed=2)
+    r1 = eng.submit(prompt, max_new_tokens=6, temperature=3.0, top_k=1)
+    r2 = eng.submit(prompt, max_new_tokens=6, temperature=3.0,
+                    top_p=1e-9)
+    done = {r.req_id: r.output for r in eng.run()}
+    assert done[r1] == want, (done[r1], want)
+    assert done[r2] == want, (done[r2], want)
+
+
+def test_per_request_mixed_samplers_one_batch(params):
+    """Greedy + temperature + top-k + top-p co-scheduled in ONE batch:
+    greedy row unaffected, stochastic rows reproducible from seed."""
+    rng = np.random.default_rng(22)
+    prompts = [rng.integers(0, 256, size=n).astype(np.int32)
+               for n in (7, 9, 11, 8)]
+    kws = [dict(), dict(temperature=1.2), dict(temperature=1.0, top_k=8),
+           dict(temperature=1.0, top_p=0.85)]
+
+    solo = ServingEngine(params, CFG, max_batch=1, page_size=16,
+                         num_pages=64, max_pages_per_seq=8,
+                         max_seq_len=256)
+    solo.submit(prompts[0], max_new_tokens=6)
+    want_greedy = solo.run()[0].output
+
+    def run(seed):
+        eng = ServingEngine(params, CFG, max_batch=4, page_size=16,
+                            num_pages=96, max_pages_per_seq=8,
+                            max_seq_len=256, sample_seed=seed)
+        rids = [eng.submit(p, max_new_tokens=6, **kw)
+                for p, kw in zip(prompts, kws)]
+        done = {r.req_id: r.output for r in eng.run()}
+        return [done[r] for r in rids]
+
+    a = run(5)
+    b = run(5)
+    c = run(6)
+    assert a[0] == want_greedy and b[0] == want_greedy
+    assert a == b                      # same seed -> reproducible
+    assert a[1:] != c[1:]              # different seed -> differs (a.s.)
+
+
+def test_submit_validates_sampling_params(params):
+    eng = ServingEngine(params, CFG, max_batch=1, page_size=16,
+                        num_pages=32, max_pages_per_seq=4,
+                        max_seq_len=64)
+    with pytest.raises(ValueError, match="top_p"):
+        eng.submit(np.arange(5, dtype=np.int32), max_new_tokens=2,
+                   top_p=1.5)
+    with pytest.raises(ValueError, match="top_k"):
+        eng.submit(np.arange(5, dtype=np.int32), max_new_tokens=2,
+                   top_k=-1)
