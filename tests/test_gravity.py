@@ -116,3 +116,57 @@ def test_gravity_rope():
     kr = np.asarray(apply_rope(jnp.asarray(k), cos, sin))
     want = attention_reference_numpy(qr, kr, v, causal=True)
     assert_close(got, want, 1e-5, 1e-5, "gravity-rope")
+
+
+def test_gravity_chunked_equals_single_chunk():
+    """The scan-chunked walk (any chunk size) must equal the one-chunk
+    (dense-equivalent) result exactly — online softmax rescaling across
+    chunk boundaries is exact in f32 up to rounding."""
+    q, k, v = random_qkv(1, 4, 64, 32, heads_kv=2, seq_k=512)
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    dense = gravity_attention(*args, max_attend=200, causal=True,
+                              chunk_size=512)
+    for c in (64, 96, 128):
+        chunked = gravity_attention(*args, max_attend=200, causal=True,
+                                    chunk_size=c)
+        assert_close(np.asarray(chunked), np.asarray(dense), 1e-6, 1e-6,
+                     f"chunk={c}")
+
+
+def test_gravity_long_context_memory_scales_with_chunk():
+    """VERDICT r2 weak #9: gravity must not materialize [B,H,Sq,A] in
+    HBM.  Check the jaxpr's largest intermediate scales with chunk_size,
+    not with max_attend."""
+    import jax
+
+    q, k, v = random_qkv(1, 2, 256, 64, seq_k=4096)
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+
+    def biggest_intermediate(chunk):
+        jaxpr = jax.make_jaxpr(
+            lambda q, k, v: gravity_attention(
+                q, k, v, max_attend=2048, causal=True,
+                chunk_size=chunk))(*args).jaxpr
+
+        def all_eqns(jx):
+            for e in jx.eqns:
+                yield e
+                for sub in e.params.values():
+                    core = getattr(sub, "jaxpr", None)
+                    if core is not None:
+                        yield from all_eqns(
+                            getattr(core, "jaxpr", core))
+
+        return max(
+            int(np.prod(ov.aval.shape)) * ov.aval.dtype.itemsize
+            for e in all_eqns(jaxpr) for ov in e.outvars
+            if hasattr(ov.aval, "shape"))
+
+    big = biggest_intermediate(2048)   # dense-equivalent walk
+    small = biggest_intermediate(128)
+    # chunked: the largest temporary is the O(Sk*D) selection pass over
+    # k itself (scales with context, NOT with max_attend); dense-walk:
+    # the [rows, A] score tensor dominates and grows with max_attend.
+    k_bytes = 1 * 2 * 4096 * 64 * 4
+    assert small <= k_bytes, (small, k_bytes)
+    assert big >= 2 * k_bytes, (small, big)
