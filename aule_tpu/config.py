@@ -55,26 +55,67 @@ class TileConfig:
     pages_per_compute_block_fused: int = 32
 
 
-# Per-generation tuned tiles.  Keys match jax device_kind prefixes.
-# v5e measured sweep (scripts/tune_blocks.py, B4 H32/8 S4096 D128 bf16
-# causal, on-device fori_loop timing): (1024,1024) 92 TFLOP/s >
-# (512,1024) 78 > (1024,2048) 81 > (512,512) 48; block_q=2048 exceeds
-# the scoped-VMEM limit.
-# Two-level kv blocking (block_kv DMA tile, block_kv_compute chunk):
-# (1024, 4096, c1024) measured 96.8 TFLOP/s vs 93.0 for (1024, 1024)
-# at B4/S4096 bf16; the flash wrapper clamps the DMA tile for f32 /
-# VMEM limits.
+@dataclasses.dataclass
+class TileRule:
+    """One shape-keyed row of the tuned tile table.
+
+    The reference autotunes 13 Triton configs keyed on head_dim per GPU
+    arch (triton_flash_amd.py:58-95, vulkan_context.zig:254-319); the
+    TPU analog keys TileConfig rows on (device_kind, head_dim range,
+    seq_k range).  First matching rule wins; a rule with no bounds is
+    the device's default.
+    """
+
+    tiles: TileConfig
+    min_head_dim: int = 0
+    max_head_dim: int = 1 << 30
+    min_seq: int = 0
+    max_seq: int = 1 << 30
+    note: str = ""
+
+    def matches(self, head_dim: Optional[int], seq: Optional[int]) -> bool:
+        if head_dim is not None and not (
+                self.min_head_dim <= head_dim <= self.max_head_dim):
+            return False
+        if seq is not None and not (self.min_seq <= seq <= self.max_seq):
+            return False
+        return True
+
+
+# Per-generation tuned tile rules.  Keys match jax device_kind prefixes.
+# v5e measured sweeps (scripts/tune_blocks.py, probe_final_tune.py,
+# on-device fori_loop timing):
+#   * B4 H32/8 S4096 D128 bf16 causal: (1024, 4096, c1024) 96.8-103
+#     TFLOP/s > (1024,1024) 93 > (512,1024) 78 > (512,512) 48;
+#     block_q=2048 exceeds scoped VMEM; c512 collapses the chunk rate
+#     (non-causal c1024=145 vs c512=83 TF/s).
+#   * fused paged decode ppcb sweep: 32 > 16 >> 8 at ctx>=4k.
+# Short-seq and D-keyed rows are sweepable via scripts/tune_blocks.py;
+# bounds below encode the r3 sweep (probe_shape_tune.py medians).
+_V5E_RULES = [
+    # S<=2048: the 4096-wide DMA tile leaves ~1.3 live chunks per grid
+    # step and per-step overhead dominates (B8/S2048 was 38.7%); r3
+    # sweep: see scripts/probe_shape_tune.py
+    TileRule(TileConfig(block_q=1024, block_kv=2048,
+                        block_kv_compute=1024),
+             max_seq=2048, note="short-seq prefill"),
+    # D>=256 tiles carry 2x bytes; _pick_blocks additionally divides
+    # the row budget by D/128
+    TileRule(TileConfig(block_q=1024, block_kv=2048,
+                        block_kv_compute=1024),
+             min_head_dim=256, note="wide heads"),
+    TileRule(TileConfig(block_q=1024, block_kv=4096,
+                        block_kv_compute=1024), note="default"),
+]
+
 TILE_TABLE = {
-    "default": TileConfig(block_q=1024, block_kv=4096,
-                          block_kv_compute=1024),
-    "v5 lite": TileConfig(block_q=1024, block_kv=4096,
-                          block_kv_compute=1024),
-    "v5e": TileConfig(block_q=1024, block_kv=4096,
-                      block_kv_compute=1024),
-    "v5p": TileConfig(block_q=1024, block_kv=4096,
-                      block_kv_compute=1024),
-    "v6": TileConfig(block_q=1024, block_kv=4096,
-                     block_kv_compute=1024),
+    "default": _V5E_RULES,
+    "v5 lite": _V5E_RULES,
+    "v5e": _V5E_RULES,
+    # v5p/v6 inherit the v5e-tuned shapes until measured on hardware
+    # (same MXU geometry, larger VMEM/HBM headroom)
+    "v5p": _V5E_RULES,
+    "v6": _V5E_RULES,
 }
 
 
@@ -131,8 +172,14 @@ def set_config(cfg: AuleConfig) -> None:
     _config = cfg
 
 
-def get_tile_config(device_kind: Optional[str] = None) -> TileConfig:
-    """Pick tile sizes for the current (or given) device kind."""
+def get_tile_config(device_kind: Optional[str] = None,
+                    head_dim: Optional[int] = None,
+                    seq: Optional[int] = None) -> TileConfig:
+    """Pick tile sizes for the current (or given) device kind and shape.
+
+    head_dim / seq (seq_k) select a shape-keyed TileRule; omitted hints
+    match every rule, so legacy no-hint callers get the device default
+    row (the first unbounded rule)."""
     if device_kind is None:
         try:
             import jax
@@ -141,7 +188,18 @@ def get_tile_config(device_kind: Optional[str] = None) -> TileConfig:
         except Exception:  # pragma: no cover - no devices at all
             device_kind = "default"
     device_kind = device_kind.lower()
-    for key, tiles in TILE_TABLE.items():
+    rules = TILE_TABLE["default"]
+    for key, dev_rules in TILE_TABLE.items():
         if key != "default" and key in device_kind:
-            return tiles
-    return TILE_TABLE["default"]
+            rules = dev_rules
+            break
+    if head_dim is None and seq is None:
+        # legacy callers: the device's unbounded default row
+        for rule in rules:
+            if rule.min_head_dim == 0 and rule.max_head_dim >= (1 << 30) \
+                    and rule.min_seq == 0 and rule.max_seq >= (1 << 30):
+                return rule.tiles
+    for rule in rules:
+        if rule.matches(head_dim, seq):
+            return rule.tiles
+    return rules[-1].tiles

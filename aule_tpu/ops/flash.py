@@ -377,7 +377,7 @@ def _pick_blocks(
     2x bytes plus f32 mask temporaries, so they get a halved budget and a
     clamped DMA tile (chip-validated: bf16 defaults blow scoped VMEM).
     """
-    tiles = get_tile_config()
+    tiles = get_tile_config(head_dim=head_dim, seq=seq_k)
     # D>128 scales every VMEM tile (q, acc, k/v DMA slabs) by D/128:
     # shrink the row budget and the DMA tile to stay in the envelope the
     # D=128 sweep validated (SURVEY quirk list: the reference caps D at

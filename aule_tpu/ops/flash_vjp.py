@@ -296,7 +296,7 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
     hkv, seq_k = k.shape[1], k.shape[2]
     group = hq // hkv
 
-    tiles = get_tile_config()
+    tiles = get_tile_config(head_dim=d, seq=seq_k)
     # tile table rows are a TOTAL q-row budget per grid step; per-head
     # blocks shrink with the GQA group (see flash.py._pick_blocks), and
     # D>128 scales every VMEM tile by D/128 (see _pick_blocks)

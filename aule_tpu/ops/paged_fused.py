@@ -410,7 +410,9 @@ def paged_attention_fused(
             "codes is meaningless); see ops/quant.quantize_kv")
 
     ppcb = (pages_per_compute_block
-            or get_tile_config().pages_per_compute_block_fused)
+            or get_tile_config(
+                head_dim=d, seq=max_pages * page_size
+            ).pages_per_compute_block_fused)
     ppcb = _cap_ppcb(ppcb, hkv, page_size, d, kv_pages.dtype)
     ppcb = min(ppcb, max_pages)
     if max_pages % ppcb != 0:
@@ -852,7 +854,9 @@ def paged_attention_prefill(
         q_offsets = context_lens - s_new
 
     ppcb = (pages_per_compute_block
-            or get_tile_config().pages_per_compute_block_fused)
+            or get_tile_config(
+                head_dim=d, seq=max_pages * page_size
+            ).pages_per_compute_block_fused)
     ppcb = _cap_ppcb(ppcb, hkv, page_size, d, kv_pages.dtype)
     ppcb = min(ppcb, max_pages)
     if max_pages % ppcb != 0:

@@ -162,31 +162,68 @@ class MultiProcessServingPool:
     """
 
     def __init__(self, num_workers: int, engine_kw: dict,
-                 model_seed: int = 0):
+                 model_seed: int = 0, transport: str = "mp",
+                 warm: dict = None, worker_env: dict = None):
+        """transport='mp' wires workers over multiprocessing queues
+        (single machine); transport='tcp' serves the same queue pair
+        over a TCP socket (serving/transport.py) — the deployable
+        cross-host form, with workers connecting by (host, port).  The
+        worker loop is byte-identical in both."""
         import multiprocessing as mp
 
         self._ctx = mp.get_context("spawn")
-        self.req_q = self._ctx.Queue()
-        self.res_q = self._ctx.Queue()
+        self._server = None
+        if transport == "mp":
+            self.req_q = self._ctx.Queue()
+            self.res_q = self._ctx.Queue()
+        elif transport == "tcp":
+            import queue
+
+            from .transport import QueueTransportServer
+
+            self.req_q = queue.Queue()
+            self.res_q = queue.Queue()
+            self._server = QueueTransportServer(self.req_q, self.res_q)
+        else:
+            raise ValueError(f"unknown transport {transport!r}")
         import os
         import sys
         worker_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "..", "scripts")
         sys.path.insert(0, os.path.abspath(worker_dir))
-        from serving_worker import worker_main
+        from serving_worker import tcp_worker_main, worker_main
 
-        self.procs = [
-            self._ctx.Process(
-                target=worker_main,
-                args=(i, model_seed, engine_kw, self.req_q, self.res_q),
-                daemon=True)
-            for i in range(num_workers)
-        ]
+        if transport == "mp":
+            self.procs = [
+                self._ctx.Process(
+                    target=worker_main,
+                    args=(i, model_seed, engine_kw, self.req_q,
+                          self.res_q, warm, worker_env),
+                    daemon=True)
+                for i in range(num_workers)
+            ]
+        else:
+            self.procs = [
+                self._ctx.Process(
+                    target=tcp_worker_main,
+                    args=(i, model_seed, engine_kw, self._server.host,
+                          self._server.port, warm, worker_env),
+                    daemon=True)
+                for i in range(num_workers)
+            ]
         for p in self.procs:
             p.start()
         self._next_id = 0
         self._pending = 0
+        if warm:
+            # block until every worker reports its caches warm, so
+            # caller-side timing windows measure steady-state serving
+            ready = 0
+            while ready < num_workers:
+                msg = self.res_q.get(timeout=600)
+                if msg[0] == "__worker_ready__":
+                    ready += 1
 
     def submit(self, prompt, max_new_tokens: int,
                eos_id: Optional[int] = None,
@@ -226,3 +263,5 @@ class MultiProcessServingPool:
             p.join(timeout=timeout_s)
             if p.is_alive():
                 p.terminate()
+        if self._server is not None:
+            self._server.stop()

@@ -11,6 +11,10 @@ replicas time-share one device, so the printed efficiency measures
 scheduler overhead only (run with --interpret for a CPU smoke).
 
 Usage: python scripts/scaling_report.py [--replicas 1 2 4] [--requests 16]
+       python scripts/scaling_report.py --processes [--transport tcp]
+         (process-per-replica pool over mp queues or the TCP wire;
+          CPU workers, so scaling measures the pool+transport overhead
+          against real process parallelism)
 """
 import argparse
 import os
@@ -33,7 +37,12 @@ def main():
     ap.add_argument("--requests", type=int, default=8)
     ap.add_argument("--new-tokens", type=int, default=32)
     ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--processes", action="store_true",
+                    help="process-per-replica pool (CPU workers)")
+    ap.add_argument("--transport", choices=["mp", "tcp"], default="mp")
     args = ap.parse_args()
+    if args.processes:
+        return run_processes(args)
 
     cfg = llama.LlamaConfig(
         vocab_size=2048, dim=512, n_layers=args.layers, n_heads=8,
@@ -62,6 +71,73 @@ def main():
             base = tps
         print(f"replicas={n}: {pool.stats.tokens} tokens in "
               f"{pool.stats.wall_s:.2f}s = {tps:,.0f} tok/s "
+              f"(scaling {tps / base / n * 100:.0f}% of linear)")
+
+
+def run_processes(args):
+    import time
+
+    from aule_tpu.serving.multihost import MultiProcessServingPool
+
+    rng = np.random.default_rng(0)
+    # uniform prompt shape: per-worker prefill compiles are warmed at
+    # worker startup, so the timed window is pure serving
+    prompts = [rng.integers(0, 2048, size=32).astype(np.int32)
+               for _ in range(args.requests)]
+    engine_kw = dict(max_batch=4, page_size=16, num_pages=256,
+                     max_pages_per_seq=16, max_seq_len=512)
+    cores = os.cpu_count() or 1
+    if cores < max(args.replicas):
+        print(f"NOTE: {cores} CPU core(s) < {max(args.replicas)} "
+              f"replicas - wall-clock scaling is core-bound on this "
+              f"machine; the meaningful numbers here are pool/transport "
+              f"OVERHEAD (procs=1 vs direct) and mp-vs-tcp parity.  On "
+              f"a real fleet each replica owns its own host/chips.")
+    # direct single-engine baseline (no pool, no processes)
+    import jax as _jax
+
+    from aule_tpu.models import llama as _llama
+    _cfg = _llama.LlamaConfig.tiny()
+    _eng_params = _llama.init_params(_cfg, _jax.random.key(0))
+    _eng = ServingEngine(_eng_params, _cfg, **engine_kw)
+    _eng.submit(np.zeros(32, np.int32), args.new_tokens)
+    _eng.run()
+    t0 = time.perf_counter()
+    for p_ in prompts:
+        _eng.submit(p_, max_new_tokens=args.new_tokens)
+    direct = sum(len(r.output) for r in _eng.run())
+    ddt = time.perf_counter() - t0
+    print(f"direct 1 engine: {direct} tokens in {ddt:.2f}s = "
+          f"{direct / ddt:,.0f} tok/s")
+
+    base = None
+    for n in args.replicas:
+        pool = MultiProcessServingPool(
+            n, engine_kw, model_seed=0, transport=args.transport,
+            warm={"lens": [32], "new_tokens": args.new_tokens},
+            worker_env={
+                # pin each CPU replica to 2 intra-op threads so N
+                # replicas on ONE test machine exercise real process
+                # parallelism instead of contending for every core
+                "XLA_FLAGS": "--xla_cpu_multi_thread_eigen=false "
+                             "intra_op_parallelism_threads=2",
+                "OMP_NUM_THREADS": "2",
+                "OPENBLAS_NUM_THREADS": "2",
+            })
+        try:
+            t0 = time.perf_counter()
+            for p in prompts:
+                pool.submit(p, max_new_tokens=args.new_tokens)
+            got = pool.collect(timeout_s=600)
+            dt = time.perf_counter() - t0
+        finally:
+            pool.shutdown()
+        toks = sum(len(v[1]) for v in got.values())
+        tps = toks / dt
+        if base is None:
+            base = tps
+        print(f"procs={n} ({args.transport}): {toks} tokens in "
+              f"{dt:.2f}s = {tps:,.0f} tok/s "
               f"(scaling {tps / base / n * 100:.0f}% of linear)")
 
 

@@ -21,9 +21,16 @@ import os
 import sys
 
 
-def worker_main(worker_id, model_seed, engine_kw, req_q, res_q):
+def worker_main(worker_id, model_seed, engine_kw, req_q, res_q,
+                warm=None, worker_env=None):
     # each process owns its own JAX runtime (CPU here; a real deployment
-    # points each worker at its host's TPU chips)
+    # points each worker at its host's TPU chips).  worker_env lets the
+    # pool pin per-worker runtime settings BEFORE jax initializes (e.g.
+    # intra-op thread caps so N CPU replicas on one test machine do not
+    # all fight over every core — on a real fleet each worker owns its
+    # host and this stays empty).
+    for key, val in (worker_env or {}).items():
+        os.environ[key] = str(val)
     os.environ.setdefault("AULE_TPU_INTERPRET", "1")
     import jax
 
@@ -38,6 +45,17 @@ def worker_main(worker_id, model_seed, engine_kw, req_q, res_q):
     cfg = llama.LlamaConfig.tiny()
     params = llama.init_params(cfg, jax.random.key(model_seed))
     eng = ServingEngine(params, cfg, **engine_kw)
+
+    if warm:
+        # warm this worker's jit caches (prefill per prompt shape +
+        # decode single/multi-step) BEFORE pulling real work, so pool
+        # scaling measurements see steady-state workers
+        for n in warm.get("lens", []):
+            eng.submit(np.zeros(int(n), np.int32),
+                       int(warm.get("new_tokens", 8)))
+            eng.run()
+        eng.finished = []
+        res_q.put(("__worker_ready__", worker_id, []))
 
     gid_of = {}
     draining = False
@@ -74,3 +92,18 @@ def worker_main(worker_id, model_seed, engine_kw, req_q, res_q):
         for r in done:
             res_q.put((gid_of.pop(r.req_id), worker_id, list(r.output)))
     res_q.put(("__worker_done__", worker_id, []))
+
+
+def tcp_worker_main(worker_id, model_seed, engine_kw, host, port,
+                    warm=None, worker_env=None):
+    """TCP form of the worker: identical loop, queues behind the wire
+    (aule_tpu/serving/transport.py).  This is the entry a real fleet
+    launches on each host, pointed at the pool's (host, port)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from aule_tpu.serving.transport import RemoteQueue
+
+    worker_main(worker_id, model_seed, engine_kw,
+                RemoteQueue(host, port, "req"),
+                RemoteQueue(host, port, "res"), warm=warm,
+                worker_env=worker_env)

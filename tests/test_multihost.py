@@ -115,3 +115,61 @@ def test_multiprocess_serving_pool():
     for g, w in zip(gids, want):
         assert got[g][1] == w, (g, got[g], w)
     assert len(workers_used) >= 1  # scheduling is load-driven
+
+
+def test_tcp_transport_pool_matches_single_engine():
+    """Same pool, queues behind the TCP wire (serving/transport.py):
+    worker loop unchanged, outputs identical — the transport swap the
+    multihost design promised."""
+    from aule_tpu.serving.multihost import MultiProcessServingPool
+
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, 256, size=n).astype(np.int32)
+               for n in (6, 11, 8)]
+    engine_kw = dict(max_batch=2, page_size=16, num_pages=64,
+                     max_pages_per_seq=8, max_seq_len=256)
+
+    want = []
+    for p in prompts:
+        eng = ServingEngine(llama.init_params(CFG, jax.random.key(0)),
+                            CFG, **engine_kw)
+        eng.submit(p, max_new_tokens=4)
+        want.append(eng.run()[0].output)
+
+    pool = MultiProcessServingPool(2, engine_kw, model_seed=0,
+                                   transport="tcp")
+    try:
+        gids = [pool.submit(p, max_new_tokens=4) for p in prompts]
+        got = pool.collect(timeout_s=420)
+    finally:
+        pool.shutdown()
+    for g, w in zip(gids, want):
+        assert got[g][1] == w, (g, got[g], w)
+
+
+def test_remote_queue_roundtrip():
+    """Transport unit test: framing, empty-queue semantics, both queues."""
+    import queue
+
+    from aule_tpu.serving.transport import (
+        QueueTransportServer,
+        RemoteQueue,
+    )
+
+    req_q, res_q = queue.Queue(), queue.Queue()
+    srv = QueueTransportServer(req_q, res_q)
+    try:
+        rq = RemoteQueue(srv.host, srv.port, "req")
+        rs = RemoteQueue(srv.host, srv.port, "res")
+        req_q.put({"x": np.arange(3).tolist(), "y": "z"})
+        assert rq.get_nowait() == {"x": [0, 1, 2], "y": "z"}
+        with pytest.raises(queue.Empty):
+            rq.get_nowait()
+        with pytest.raises(queue.Empty):
+            rq.get(timeout=0.05)
+        rs.put(("result", 7, [1, 2]))
+        assert res_q.get(timeout=5) == ("result", 7, [1, 2])
+        rq.close()
+        rs.close()
+    finally:
+        srv.stop()
