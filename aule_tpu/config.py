@@ -71,13 +71,23 @@ class TileRule:
     max_head_dim: int = 1 << 30
     min_seq: int = 0
     max_seq: int = 1 << 30
+    # None = matches both; True/False = only that mask mode.  Causal and
+    # non-causal prefill want different chunk geometry: non-causal peaks
+    # with wide maskless chunks (c2048 = 154 TF/s on v5e), causal wants
+    # the diagonal-aligned block_q == block_kv_compute walk that turns
+    # the ~bkvc/S misalignment waste into the bkvc/(2S) triangle.
+    causal: Optional[bool] = None
     note: str = ""
 
-    def matches(self, head_dim: Optional[int], seq: Optional[int]) -> bool:
+    def matches(self, head_dim: Optional[int], seq: Optional[int],
+                causal: Optional[bool] = None) -> bool:
         if head_dim is not None and not (
                 self.min_head_dim <= head_dim <= self.max_head_dim):
             return False
         if seq is not None and not (self.min_seq <= seq <= self.max_seq):
+            return False
+        if (self.causal is not None and causal is not None
+                and self.causal != causal):
             return False
         return True
 
@@ -174,12 +184,13 @@ def set_config(cfg: AuleConfig) -> None:
 
 def get_tile_config(device_kind: Optional[str] = None,
                     head_dim: Optional[int] = None,
-                    seq: Optional[int] = None) -> TileConfig:
+                    seq: Optional[int] = None,
+                    causal: Optional[bool] = None) -> TileConfig:
     """Pick tile sizes for the current (or given) device kind and shape.
 
-    head_dim / seq (seq_k) select a shape-keyed TileRule; omitted hints
-    match every rule, so legacy no-hint callers get the device default
-    row (the first unbounded rule)."""
+    head_dim / seq (seq_k) / causal select a shape-keyed TileRule; omitted
+    hints match every rule, so legacy no-hint callers get the device
+    default row (the first unbounded rule)."""
     if device_kind is None:
         try:
             import jax
@@ -193,13 +204,14 @@ def get_tile_config(device_kind: Optional[str] = None,
         if key != "default" and key in device_kind:
             rules = dev_rules
             break
-    if head_dim is None and seq is None:
+    if head_dim is None and seq is None and causal is None:
         # legacy callers: the device's unbounded default row
         for rule in rules:
             if rule.min_head_dim == 0 and rule.max_head_dim >= (1 << 30) \
-                    and rule.min_seq == 0 and rule.max_seq >= (1 << 30):
+                    and rule.min_seq == 0 and rule.max_seq >= (1 << 30) \
+                    and rule.causal is None:
                 return rule.tiles
     for rule in rules:
-        if rule.matches(head_dim, seq):
+        if rule.matches(head_dim, seq, causal):
             return rule.tiles
     return rules[-1].tiles

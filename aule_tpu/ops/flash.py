@@ -368,6 +368,7 @@ def _pick_blocks(
     block_kv: Optional[int],
     block_kv_compute: Optional[int],
     head_dim: int = 128,
+    causal: bool = False,
 ) -> Tuple[int, int, int]:
     """Resolve (per-head block_q, block_kv DMA tile, compute chunk).
 
@@ -377,7 +378,7 @@ def _pick_blocks(
     2x bytes plus f32 mask temporaries, so they get a halved budget and a
     clamped DMA tile (chip-validated: bf16 defaults blow scoped VMEM).
     """
-    tiles = get_tile_config(head_dim=head_dim, seq=seq_k)
+    tiles = get_tile_config(head_dim=head_dim, seq=seq_k, causal=causal)
     # D>128 scales every VMEM tile (q, acc, k/v DMA slabs) by D/128:
     # shrink the row budget and the DMA tile to stay in the envelope the
     # D=128 sweep validated (SURVEY quirk list: the reference caps D at
@@ -458,7 +459,7 @@ def flash_attention_fwd(
 
     bq, bkv, bkvc = _pick_blocks(
         seq_q, seq_k, group, jnp.dtype(q.dtype).itemsize, window,
-        block_q, block_kv, block_kv_compute, head_dim=d,
+        block_q, block_kv, block_kv_compute, head_dim=d, causal=causal,
     )
 
     sq_pad = _round_up(seq_q, bq)
