@@ -72,6 +72,7 @@ def flash_attention(
     rope_sin=None,
     backend: Optional[str] = None,
     return_lse: bool = False,
+    kv_len=None,
 ):
     """Fused multi-head attention over [batch, heads, seq, head_dim].
 
@@ -93,6 +94,10 @@ def flash_attention(
         python/aule/vulkan.py:824-889).  Differentiable in both outputs on
         the pallas/xla backends (the lse cotangent folds into the
         backward's delta term, ops/flash_vjp.py).
+      kv_len: optional (traced) int32 scalar — only the first kv_len k/v
+        positions attend.  Lets callers pad k/v to a shape bucket and
+        vary the true length without recompiling (varlen decode; used by
+        the HF patch).  Forward-only on the pallas backend.
 
     Returns an array shaped like q, in q's dtype (or an (out, lse) pair
     with return_lse=True).
@@ -103,6 +108,17 @@ def flash_attention(
         logger.info("flash_attention backend=%s q=%s k=%s", chosen, q.shape, k.shape)
 
     if chosen == "pallas":
+        if kv_len is not None:
+            from .ops.flash import flash_attention_fwd
+
+            if rope_cos is not None:
+                q = apply_rope(q, rope_cos, rope_sin)
+                k = apply_rope(k, rope_cos, rope_sin)
+            return flash_attention_fwd(
+                q, k, v, causal=causal, scale=scale,
+                window_size=window_size, kv_len=kv_len,
+                return_lse=return_lse,
+            )
         if return_lse:
             from .ops.flash_vjp import flash_attention_lse
             from .ops.rope import apply_rope as _rope
@@ -133,8 +149,12 @@ def flash_attention(
             rope_cos=rope_cos,
             rope_sin=rope_sin,
             return_lse=return_lse,
+            kv_len=kv_len,
         )
-    # numpy fallback
+    # numpy fallback (concrete arrays: varlen bucketing reduces to a slice)
+    if kv_len is not None:
+        k = np.asarray(k)[:, :, :int(kv_len)]
+        v = np.asarray(v)[:, :, :int(kv_len)]
     if rope_cos is not None:
         qr = apply_rope(jnp.asarray(q, jnp.float32), rope_cos, rope_sin)
         kr = apply_rope(jnp.asarray(k, jnp.float32), rope_cos, rope_sin)

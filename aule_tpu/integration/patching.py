@@ -10,6 +10,7 @@ the saved original otherwise.
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Optional
 
@@ -125,6 +126,19 @@ _hf_registered = False
 # test/debug visibility: counts calls routed through the aule interface
 PATCH_STATS = {"calls": 0}
 
+_KV_BUCKET = 128
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "backend"))
+def _bucketed_decode_attn(qj, kj, vj, kv_len, scale, backend):
+    """One-token decode attention over bucket-padded KV (jitted: shape
+    stability across decode steps comes from kv_len being traced)."""
+    from .. import flash_attention
+
+    out = flash_attention(qj, kj, vj, causal=False, scale=scale,
+                          backend=backend, kv_len=kv_len)
+    return jnp.swapaxes(out, 1, 2)
+
 
 def _torch_to_jax(t):
     """torch -> JAX, zero-copy via dlpack when the buffer is shareable
@@ -202,10 +216,27 @@ def _aule_hf_attention(module, query, key, value, attention_mask,
     from .. import flash_attention
 
     qj, kj, vj = (_torch_to_jax(t) for t in (query, key, value))
-    out = flash_attention(
-        qj, kj, vj, causal=causal, scale=scaling,
-        backend=PATCH_CONFIG["backend"] or _patch_backend)
+    backend = PATCH_CONFIG["backend"] or _patch_backend
     PATCH_STATS["calls"] += 1
+    from ..backends import select_backend
+
+    if query.shape[2] == 1 and select_backend(backend) != "numpy":
+        # decode step: KV grows by one token per call, which would jit a
+        # fresh kernel per shape; pad KV to a 128-token bucket and pass
+        # the true length as a traced kv_len so every step in a bucket
+        # reuses one compile (generate cost becomes ~n_buckets compiles,
+        # not ~n_tokens).
+        sk = kj.shape[2]
+        sk_pad = -(-sk // _KV_BUCKET) * _KV_BUCKET
+        if sk_pad != sk:
+            pad = ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0))
+            kj = jnp.pad(kj, pad)
+            vj = jnp.pad(vj, pad)
+        out = _bucketed_decode_attn(qj, kj, vj, jnp.int32(sk),
+                                    scaling, backend)
+        return _jax_to_torch(out, query), None
+    out = flash_attention(
+        qj, kj, vj, causal=causal, scale=scaling, backend=backend)
     # transpose in JAX so the dlpack handoff sees a contiguous buffer
     out = jnp.swapaxes(jnp.asarray(out), 1, 2)
     return _jax_to_torch(out, query), None

@@ -43,6 +43,10 @@ NUM_LANES = 128
 DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 LOG2E = 1.4426950408889634
 
+# test/debug visibility: the resolved layout of the last flash_attention_fwd
+# trace (bq, bkv, bkvc, group, diag_strips)
+LAST_LAYOUT = {}
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -101,16 +105,20 @@ def _fwd_kernel(
     use_rope: bool,
     return_lse: bool,
     ragged: bool,
+    dynamic_kv_len: bool,
+    diag_strips: int,
     pipeline: bool,
 ):
     refs = list(refs)
     if use_rope:
-        (q_ref, k_ref, v_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref,
-         o_ref) = refs[:8]
-        rest = refs[8:]
+        (q_ref, k_ref, v_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref
+         ) = refs[:7]
+        rest = refs[7:]
     else:
-        (q_ref, k_ref, v_ref, o_ref) = refs[:4]
-        rest = refs[4:]
+        (q_ref, k_ref, v_ref) = refs[:3]
+        rest = refs[3:]
+    kvl_ref = rest.pop(0) if dynamic_kv_len else None
+    o_ref = rest.pop(0)
     lse_ref = rest.pop(0) if return_lse else None
     if pipeline:
         (m_scr, l_scr, acc_scr, s_scr) = rest
@@ -121,6 +129,10 @@ def _fwd_kernel(
     i = pl.program_id(2)
     j = pl.program_id(3)
     rows = group * block_q  # flattened (head-in-group, q-position) rows
+    # effective kv length: static seq_k, or the traced SMEM scalar for
+    # bucket-padded varlen calls (the HF generate path pads kv to a
+    # 128-token bucket so decode steps share one compiled kernel)
+    kv_limit = kvl_ref[0] if dynamic_kv_len else seq_k
 
     @pl.when(j == 0)
     def _init():
@@ -143,7 +155,7 @@ def _fwd_kernel(
     n_sub = block_kv // block_kv_compute
     bkvc = block_kv_compute
     maskless_everywhere = (not causal and window <= 0
-                           and seq_k % bkvc == 0)
+                           and seq_k % bkvc == 0 and not dynamic_kv_len)
     # perf-diagnosis knob: run edge chunks through the maskless body
     # (WRONG numerics; isolates mask-VPU cost from tier predication cost)
     import os as _os
@@ -165,8 +177,8 @@ def _fwd_kernel(
         q_hi = (i + 1) * block_q - 1
         # bounds terms are vacuous when seq_k fills its padded tiles
         true = jnp.full((), True)
-        live = (p0 < seq_k) if ragged else true
-        interior = (p1 < seq_k) if ragged else true
+        live = (p0 < kv_limit) if ragged else true
+        interior = (p1 < kv_limit) if ragged else true
         if causal:
             live = jnp.logical_and(live, q_hi >= p0)
             interior = jnp.logical_and(interior, q_lo >= p1)
@@ -191,7 +203,7 @@ def _fwd_kernel(
                 + j * block_kv + col0)
         terms = []
         if ragged:
-            terms.append(cols < seq_k)
+            terms.append(cols < kv_limit)
         if causal:
             terms.append(rows_pos >= cols)
         if window > 0:
@@ -276,6 +288,66 @@ def _fwd_kernel(
     def _body(masked: bool, kvo: int, width: int):
         _softmax_update(masked, _score(kvo, width), kvo, width)
 
+    def _diag_body(kvo: int):
+        """Block-aligned diagonal chunk as static row-strips.
+
+        Preconditions (enforced by the wrapper's diag_mode gate): group==1,
+        block_q == block_kv_compute, self-attention, chunk start == q-block
+        start.  The [bq, bkvc] diagonal tile is exactly lower-triangular;
+        strip t (rows [t*sh, (t+1)*sh)) only attends cols [0, (t+1)*sh), so
+        computing per-strip rectangles does 0.5 + 0.5/n_strips of the tile's
+        MXU work instead of 1.0 — the structural fix for the ~25% causal
+        diagonal waste at S=4k (BENCH_GRID r2).  All offsets are STATIC
+        (dynamic in-kernel offsets measured -10..-40%, and per-chunk
+        @pl.when body count is poison at -4.6x; this is ONE region with a
+        static unrolled loop inside).
+        """
+        sh = block_q // diag_strips
+        for t in range(diag_strips):
+            rs = t * sh
+            width = rs + sh
+            q_t = (q_ref[0, 0, rs:rs + sh].astype(jnp.float32)
+                   * (scale * LOG2E)).astype(q_ref.dtype)  # [sh, D]
+            k_t = k_ref[0, 0, kvo:kvo + width]              # [width, D]
+            if use_rope:
+                q_t = _apply_rope_tile(
+                    q_t.astype(jnp.float32),
+                    cosq_ref[rs:rs + sh], sinq_ref[rs:rs + sh],
+                ).astype(q_ref.dtype)
+                k_t = _apply_rope_tile(
+                    k_t.astype(jnp.float32),
+                    cosk_ref[kvo:kvo + width], sink_ref[kvo:kvo + width],
+                ).astype(k_ref.dtype)
+            s = jax.lax.dot_general(
+                q_t, k_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_precision,
+            )  # [sh, width]
+            # only the trailing [sh, sh] sub-square is triangular, but one
+            # whole-strip compare is cheaper than a second region
+            rows_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (sh, width), 0) + i * block_q + rs
+            cols = (jax.lax.broadcasted_iota(jnp.int32, (sh, width), 1)
+                    + j * block_kv + kvo)
+            s = jnp.where(rows_pos >= cols, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scr[rs:rs + sh, :1]
+            l_prev = l_scr[rs:rs + sh, :1]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next)
+            l_scr[rs:rs + sh, :1] = l_prev * alpha + jnp.sum(
+                p, axis=1, keepdims=True, dtype=jnp.float32)
+            m_scr[rs:rs + sh, :1] = m_next
+            v_t = v_ref[0, 0, kvo:kvo + width]
+            o_curr = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_precision,
+            )
+            acc_scr[rs:rs + sh] = acc_scr[rs:rs + sh] * alpha + o_curr
+
     if pipeline:
         # Software pipeline: issue chunk c+1's score matmul (MXU) into a
         # double-buffered VMEM scratch before chunk c's softmax (VPU) so
@@ -316,6 +388,22 @@ def _fwd_kernel(
             @pl.when(live)
             def _one(kvo=kvo):
                 _body(not force_clean, kvo, bkvc)
+    elif diag_strips > 0:
+        # aligned causal self-attention: chunks are interior (maskless),
+        # the block-aligned triangular diagonal (strip-decomposed), or
+        # dead — still two @pl.when regions per chunk.
+        for c in range(n_sub):
+            kvo = c * bkvc
+            _, interior = _tier_conds(kvo, bkvc)
+
+            @pl.when(interior)
+            def _interior(kvo=kvo):
+                _body(False, kvo, bkvc)
+
+            diag = (j * block_kv + kvo) == i * block_q
+            @pl.when(diag)
+            def _diag(kvo=kvo):
+                _diag_body(kvo)
     else:
         for c in range(n_sub):
             kvo = c * bkvc
@@ -431,6 +519,7 @@ def flash_attention_fwd(
     block_kv: Optional[int] = None,
     block_kv_compute: Optional[int] = None,
     return_lse: bool = True,
+    kv_len: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward flash attention; returns (out [B,Hq,Sq,D], lse [B,Hq,Sq]),
@@ -439,10 +528,17 @@ def flash_attention_fwd(
 
     Accepts unpadded shapes; pads Sq/Sk up to tile multiples internally and
     masks the padding (the reference's bounds masks, triton_flash.py:197-199).
+
+    kv_len: optional TRACED int32 scalar <= seq_k giving the number of
+    valid k/v tokens (bucket-padded varlen: callers pad k/v to a shape
+    bucket and vary kv_len without recompiling — the mechanism behind the
+    HF-generate patch's per-step shape stability; the reference has no
+    varlen analog, its Triton path recompiles per shape too).
     """
     batch, hq, seq_q, d = q.shape
     hkv, seq_k = k.shape[1], k.shape[2]
-    group = hq // hkv
+    gqa = hq // hkv
+    group = gqa
     if scale is None:
         scale = 1.0 / float(np.sqrt(d))
     window = int(window_size) if window_size and window_size > 0 else -1
@@ -457,10 +553,40 @@ def flash_attention_fwd(
     # (softmax scale + exp->exp2 fold into the q tile INSIDE the kernel,
     # once per q-block residency — see _score)
 
+    # Diagonal-strip causal specialization: flatten NO heads (group=1) so
+    # the q block's position span equals the kv compute chunk, making the
+    # diagonal chunk an exactly block-aligned triangle the kernel can
+    # strip-decompose (see _diag_body).  Costs `gqa`x more K/V DMA traffic
+    # (~12% of runtime, double-buffered away); removes the bkvc/S
+    # diagonal-waste term of the causal MFU model.
+    import os as _os
+    diag_strips = 0
+    tiles = get_tile_config(head_dim=d, seq=seq_k, causal=causal)
+    d_scale = max(1, d // 128)
+    diag_bq = tiles.block_q // d_scale
+    if jnp.dtype(q.dtype).itemsize >= 4:
+        diag_bq = min(diag_bq, 512)
+    if (causal and window <= 0 and kv_len is None
+            and seq_q == seq_k and seq_q % diag_bq == 0
+            and block_q is None and block_kv_compute is None
+            and _os.environ.get("AULE_FLASH_DIAG", "1") == "1"):
+        diag_strips = int(_os.environ.get("AULE_FLASH_DIAG_STRIPS", "4"))
+        group = 1
+        block_q, block_kv_compute = diag_bq, diag_bq
+
     bq, bkv, bkvc = _pick_blocks(
         seq_q, seq_k, group, jnp.dtype(q.dtype).itemsize, window,
         block_q, block_kv, block_kv_compute, head_dim=d, causal=causal,
     )
+    if diag_strips and (bq != bkvc or bkv % bkvc != 0
+                        or bq % diag_strips != 0 or bq // diag_strips < 8):
+        # alignment lost in block resolution: back to the generic path
+        diag_strips = 0
+        group = gqa
+        bq, bkv, bkvc = _pick_blocks(
+            seq_q, seq_k, group, jnp.dtype(q.dtype).itemsize, window,
+            None, block_kv, None, head_dim=d, causal=causal,
+        )
 
     sq_pad = _round_up(seq_q, bq)
     sk_pad = _round_up(seq_k, bkv)
@@ -470,9 +596,14 @@ def flash_attention_fwd(
         k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - seq_k), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - seq_k), (0, 0)))
 
+    LAST_LAYOUT.update(bq=bq, bkv=bkv, bkvc=bkvc, group=group,
+                       diag_strips=diag_strips)
     n_q = sq_pad // bq
     n_kv = sk_pad // bkv
-    grid = (batch, hkv, n_q, n_kv)
+    # head grid axis walks Hq in `group`-sized flattened blocks; the kv
+    # head index divides back down to the shared K/V head (identity when
+    # group == gqa; h // gqa when the diag path flattens nothing)
+    grid = (batch, hq // group, n_q, n_kv)
 
     use_rope = rope_cos is not None
     half_d = d // 2
@@ -483,7 +614,7 @@ def flash_attention_fwd(
             seq_k=seq_k, n_kv=n_kv,
         )
         jc = jnp.clip(j, lo, hi)  # repeated index => DMA elided
-        return (b, hk, jc, 0)
+        return (b, (hk * group) // gqa, jc, 0)
 
     def kv_index_rope(b, hk, i, j):
         b_, h_, jc, z = kv_index(b, hk, i, j)
@@ -511,6 +642,11 @@ def flash_attention_fwd(
             pl.BlockSpec((bkv, half_d), kv_index_rope),
         ]
         args += [rope_cos, rope_sin, rope_cos, rope_sin]
+
+    dynamic_kv_len = kv_len is not None
+    if dynamic_kv_len:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(kv_len, jnp.int32).reshape(1))
 
     out_specs = [
         pl.BlockSpec((1, group, bq, d), lambda b, hk, i, j: (b, hk, i, 0)),
@@ -541,7 +677,9 @@ def flash_attention_fwd(
         block_q=bq, block_kv=bkv, block_kv_compute=bkvc,
         seq_q=seq_q, seq_k=seq_k,
         n_kv=n_kv, use_rope=use_rope, return_lse=return_lse,
-        ragged=(sk_pad != seq_k), pipeline=pipeline,
+        ragged=(sk_pad != seq_k) or dynamic_kv_len,
+        dynamic_kv_len=dynamic_kv_len, diag_strips=diag_strips,
+        pipeline=pipeline,
     )
 
     if interpret is None:

@@ -77,6 +77,7 @@ def attention_reference(
     rope_sin=None,
     q_offset: int = 0,
     return_lse: bool = False,
+    kv_len=None,
     xp=jnp,
 ):
     """Dense attention over [B, H, S, D] arrays.
@@ -84,6 +85,9 @@ def attention_reference(
     Supports GQA (Hq % Hkv == 0), cross-attention (Sq != Sk), causal and
     sliding-window masks, optional fused RoPE, and is NaN-safe for fully
     masked rows.  Computation in float32 regardless of input dtype.
+
+    kv_len: optional (traced) int32 scalar — only k/v positions < kv_len
+    attend (bucket-padded varlen; mirrors flash_attention_fwd's kv_len).
     """
     q = jnp.asarray(q)
     k = jnp.asarray(k)
@@ -111,6 +115,8 @@ def attention_reference(
     scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
                         precision=jax.lax.Precision.HIGHEST) * scale
     mask = build_mask(seq_q, seq_k, causal, window_size, q_offset, xp=jnp)
+    if kv_len is not None:
+        mask = jnp.logical_and(mask, jnp.arange(seq_k)[None, :] < kv_len)
     scores = jnp.where(mask[None, None], scores, NEG_INF)
 
     m = jnp.max(scores, axis=-1, keepdims=True)

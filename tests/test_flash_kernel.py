@@ -57,6 +57,38 @@ def test_fwd_seq_not_multiple_of_block():
     assert_close(got, want, *F32_TOL, "ragged-seq")
 
 
+@pytest.mark.parametrize("kv_len", [37, 130, 256, 384])
+def test_fwd_dynamic_kv_len(kv_len):
+    """Bucket-padded varlen: a traced kv_len masks the padded KV tail so
+    decode steps in the same shape bucket share one compiled kernel (the
+    HF-generate patch mechanism; the reference has no varlen analog —
+    its Triton path recompiles per KV shape)."""
+    q, k, v = random_qkv(2, 4, 1, 128, seq_k=384)
+    got, _ = fwd(q, k, v, causal=False, kv_len=jnp.int32(kv_len))
+    want = attention_reference_numpy(
+        q, k[:, :, :kv_len], v[:, :, :kv_len], causal=False)
+    assert_close(got, want, *F32_TOL, f"kv_len={kv_len}")
+
+
+def test_fwd_dynamic_kv_len_one_compile_per_bucket():
+    """All kv_len values in one padded KV shape must reuse ONE jit trace."""
+    q, k, v = (jnp.asarray(x) for x in random_qkv(1, 2, 1, 64, seq_k=256))
+    traces = []
+
+    @jax.jit
+    def step(q, k, v, n):
+        traces.append(None)
+        out, _ = flash_attention_fwd(q, k, v, causal=False, kv_len=n)
+        return out
+
+    outs = [step(q, k, v, jnp.int32(n)) for n in (100, 150, 200, 256)]
+    assert len(traces) == 1
+    for n, o in zip((100, 150, 200, 256), outs):
+        want = attention_reference_numpy(
+            np.asarray(q), np.asarray(k)[:, :, :n], np.asarray(v)[:, :, :n])
+        assert_close(np.asarray(o), want, *F32_TOL, f"bucketed n={n}")
+
+
 @pytest.mark.parametrize("hq,hkv", [(8, 2), (4, 1), (12, 2)])
 def test_fwd_gqa(hq, hkv):
     q, k, v = random_qkv(2, hq, 256, 64, heads_kv=hkv)
