@@ -136,8 +136,11 @@ def _fwd_kernel(
 
     @pl.when(j == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
-        l_scr[...] = jnp.zeros_like(l_scr)
+        # stats live on lane 0 only (1-lane softmax arithmetic below);
+        # lanes 1..127 of m/l are never read, so init just the slice
+        m_scr[:, :1] = jnp.full((m_scr.shape[0], 1), DEFAULT_MASK_VALUE,
+                                m_scr.dtype)
+        l_scr[:, :1] = jnp.zeros((l_scr.shape[0], 1), l_scr.dtype)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     # f32 inputs need the multi-pass f32 MXU path for reference-grade

@@ -127,11 +127,19 @@ def _group_mask(mask_pos, group):
 def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_acc,
     *, scale, causal, window, group, block_q, block_kv, seq_q, seq_k,
-    n_kv, q_ragged, k_ragged,
+    n_kv, q_ragged, k_ragged, diag_strips=0,
 ):
     """dQ: grid (B, Hkv, n_q, n_kv); the whole GQA head group's rows are
     flattened per K/V residency (K/V HBM traffic / `group`, like the
-    forward), maskless interior tiles, 1-lane stat slices."""
+    forward), maskless interior tiles, 1-lane stat slices.
+
+    diag_strips > 0 (wrapper gate: causal self-attention, group==1,
+    block_q == block_kv compute chunks, nothing ragged) replaces the
+    masked edge tier with the forward's diagonal-strip decomposition
+    (flash.py::_diag_body): the block-aligned triangular tile runs as
+    static row strips computing only live columns — 0.5 + 0.5/n of the
+    tile's MXU work.  Backward has no online-softmax chain (p comes from
+    the saved lse), so strips cost nothing but the extra matmul calls."""
     i = pl.program_id(2)
     j = pl.program_id(3)
     rows = group * block_q
@@ -185,13 +193,52 @@ def _dq_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
+    def _diag():
+        sh = block_q // diag_strips
+        for t in range(diag_strips):
+            rs = t * sh
+            width = rs + sh
+            q_t = q_ref[0, 0, rs:rs + sh]      # [sh, D] (group == 1)
+            do_t = do_ref[0, 0, rs:rs + sh]
+            lse_t = lse_ref[0, 0, rs:rs + sh, :1]
+            di_t = di_ref[0, 0, rs:rs + sh, :1]
+            k_w = k_ref[0, 0, :width]
+            v_w = v_ref[0, 0, :width]
+            s2 = jax.lax.dot_general(
+                q_t, k_w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) * (scale * LOG2E)
+            rows_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (sh, width), 0) + i * block_q + rs
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (sh, width), 1) + j * block_kv
+            tri = rows_pos >= cols
+            p = jnp.exp2(jnp.where(tri, s2, DEFAULT_MASK_VALUE)
+                         - lse_t * LOG2E)
+            p = jnp.where(tri, p, 0.0)
+            dp = jax.lax.dot_general(
+                do_t, v_w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            ds = (p * (dp - di_t) * scale).astype(k_ref.dtype)
+            dq_acc[rs:rs + sh] += jax.lax.dot_general(
+                ds, k_w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+
     @pl.when(interior)
     def _interior():
         _compute(False)
 
-    @pl.when(jnp.logical_and(live, jnp.logical_not(interior)))
-    def _edge():
-        _compute(True)
+    if diag_strips > 0:
+        diag = (j * block_kv) == i * block_q
+        @pl.when(diag)
+        def _diag_tile():
+            _diag()
+    else:
+        @pl.when(jnp.logical_and(live, jnp.logical_not(interior)))
+        def _edge():
+            _compute(True)
 
     @pl.when(j == n_kv - 1)
     def _store():
@@ -310,6 +357,25 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
     q_ragged = sq_pad != seq_q
     k_ragged = sk_pad != seq_k
 
+    # dQ diagonal-strip layout (mirrors the forward, flash.py): group=1
+    # q blocks aligned to the kv tile make the diagonal a block-aligned
+    # triangle the kernel strip-decomposes.  dKV keeps the grouped
+    # layout: its GQA rows ride the CONTRACTION dim, so splitting the
+    # group would race the accumulating output block.
+    import os as _os
+    dq_group, dq_bq, dq_bkv, dq_strips = group, bq, bkv, 0
+    diag_bq = min(tiles.block_q_dq // d_scale, 1024)
+    if (causal and window <= 0 and seq_q == seq_k
+            and seq_q % diag_bq == 0 and diag_bq >= 32
+            and _os.environ.get("AULE_FLASH_DIAG", "1") == "1"):
+        dq_strips = int(_os.environ.get("AULE_FLASH_DIAG_STRIPS", "4"))
+        if (diag_bq % dq_strips == 0 and diag_bq // dq_strips >= 8
+                and not q_ragged and not k_ragged
+                and seq_q % diag_bq == 0):
+            dq_group, dq_bq, dq_bkv = 1, diag_bq, diag_bq
+        else:
+            dq_strips = 0
+
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     if dlse is not None:
         # lse cotangent folds into delta: ds = p*(dp - di) picks up
@@ -344,37 +410,40 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
 
     rows = group * bq
 
-    # ---- dQ kernel: grid (B, Hkv, n_q, n_kv) — GQA group per K/V ----
+    # ---- dQ kernel: grid (B, Hq//dq_group, n_q, n_kv) ----
+    dq_n_q = sq_pad // dq_bq
+    dq_n_kv = sk_pad // dq_bkv
+
     def kv_index(b, hk, i, j):
         lo, hi = _kv_live_range(
-            i, block_q=bq, block_kv=bkv, causal=causal, window=window,
-            seq_k=seq_k, n_kv=n_kv,
+            i, block_q=dq_bq, block_kv=dq_bkv, causal=causal,
+            window=window, seq_k=seq_k, n_kv=dq_n_kv,
         )
-        return (b, hk, jnp.clip(j, lo, hi), 0)
+        return (b, (hk * dq_group) // group, jnp.clip(j, lo, hi), 0)
 
     def q_spec(width):
-        return pl.BlockSpec((1, group, bq, width),
+        return pl.BlockSpec((1, dq_group, dq_bq, width),
                             lambda b, hk, i, j: (b, hk, i, 0))
 
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel, scale=scale, causal=causal, window=window,
-            group=group, block_q=bq, block_kv=bkv,
-            seq_q=seq_q, seq_k=seq_k, n_kv=n_kv,
-            q_ragged=q_ragged, k_ragged=k_ragged,
+            group=dq_group, block_q=dq_bq, block_kv=dq_bkv,
+            seq_q=seq_q, seq_k=seq_k, n_kv=dq_n_kv,
+            q_ragged=q_ragged, k_ragged=k_ragged, diag_strips=dq_strips,
         ),
-        grid=(batch, hkv, n_q, n_kv),
+        grid=(batch, hq // dq_group, dq_n_q, dq_n_kv),
         in_specs=[
             q_spec(d),
-            pl.BlockSpec((1, 1, bkv, d), kv_index),
-            pl.BlockSpec((1, 1, bkv, d), kv_index),
+            pl.BlockSpec((1, 1, dq_bkv, d), kv_index),
+            pl.BlockSpec((1, 1, dq_bkv, d), kv_index),
             q_spec(d),
             q_spec(NUM_LANES),
             q_spec(NUM_LANES),
         ],
         out_specs=q_spec(d),
         out_shape=jax.ShapeDtypeStruct((batch, hq, sq_pad, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((dq_group * dq_bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
