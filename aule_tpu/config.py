@@ -86,8 +86,10 @@ class TileRule:
             return False
         if seq is not None and not (self.min_seq <= seq <= self.max_seq):
             return False
-        if (self.causal is not None and causal is not None
-                and self.causal != causal):
+        if self.causal is not None and (causal is None
+                                        or self.causal != causal):
+            # mask-keyed rows are opt-in: callers that don't say which
+            # mask mode they are must not land on one
             return False
         return True
 
@@ -114,6 +116,12 @@ _V5E_RULES = [
     TileRule(TileConfig(block_q=1024, block_kv=2048,
                         block_kv_compute=1024),
              min_head_dim=256, note="wide heads"),
+    # non-causal maskless chunks peak wider: c2048 = 154 vs c1024 = 145
+    # TF/s (r2 probe_bodycount medians; causal keeps c1024 for the
+    # diagonal-aligned bq == bkvc walk)
+    TileRule(TileConfig(block_q=1024, block_kv=4096,
+                        block_kv_compute=2048),
+             causal=False, min_seq=4096, note="non-causal wide chunks"),
     TileRule(TileConfig(block_q=1024, block_kv=4096,
                         block_kv_compute=1024), note="default"),
 ]

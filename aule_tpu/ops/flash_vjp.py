@@ -343,7 +343,7 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
     hkv, seq_k = k.shape[1], k.shape[2]
     group = hq // hkv
 
-    tiles = get_tile_config(head_dim=d, seq=seq_k)
+    tiles = get_tile_config(head_dim=d, seq=seq_k, causal=causal)
     # tile table rows are a TOTAL q-row budget per grid step; per-head
     # blocks shrink with the GQA group (see flash.py._pick_blocks), and
     # D>128 scales every VMEM tile by D/128 (see _pick_blocks)
@@ -351,6 +351,13 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
     bq = max(8, _round_up(tiles.block_q_dq // (group * d_scale), 8))
     bq = min(bq, _round_up(seq_q, 8))
     bkv = min(tiles.block_kv_dkv // d_scale, _round_up(seq_k, 128))
+    # sweep knob for the dKV kv-tile width (the dKV diagonal-waste lever
+    # is a NARROWER kv tile — p comes from the saved lse, so there is no
+    # per-chunk softmax chain to collapse; see probe_bwd_sweep)
+    import os as _os_bkv
+    if _os_bkv.environ.get("AULE_BWD_BKV"):
+        bkv = min(int(_os_bkv.environ["AULE_BWD_BKV"]),
+                  _round_up(seq_k, 128))
 
     sq_pad = _round_up(seq_q, bq)
     sk_pad = _round_up(seq_k, bkv)

@@ -55,14 +55,17 @@ shapes = [(4, 32, 8, 4096), (8, 32, 8, 2048), (1, 32, 8, 4096),
 variants = [("off", {"AULE_FLASH_DIAG": "0"}),
             ("s2", {"AULE_FLASH_DIAG_STRIPS": "2"}),
             ("s4", {"AULE_FLASH_DIAG_STRIPS": "4"}),
-            ("s8", {"AULE_FLASH_DIAG_STRIPS": "8"})]
+            ("s8", {"AULE_FLASH_DIAG_STRIPS": "8"}),
+            ("s4pair", {"AULE_FLASH_DIAG_STRIPS": "4",
+                        "AULE_FLASH_DIAG_PAIR": "1"})]
 only = sys.argv[1:] or None
 for (b, hq, hkv, s) in shapes:
     if only and str(s) not in only:
         continue
     q, k, v, *_ = mk(b, hq, hkv, s, 128)
     for name, env in variants:
-        for kk in ("AULE_FLASH_DIAG", "AULE_FLASH_DIAG_STRIPS"):
+        for kk in ("AULE_FLASH_DIAG", "AULE_FLASH_DIAG_STRIPS",
+                   "AULE_FLASH_DIAG_PAIR"):
             os.environ.pop(kk, None)
         os.environ.update(env)
 
@@ -75,6 +78,7 @@ for (b, hq, hkv, s) in shapes:
         print(f"B{b} H{hq}/{hkv} S{s} {name}: {t*1e3:.3f} ms  "
               f"{fl/t/1e12:.1f} TFLOP/s  ({fl/t/1e12/197*100:.1f}%)",
               flush=True)
-for kk in ("AULE_FLASH_DIAG", "AULE_FLASH_DIAG_STRIPS"):
+for kk in ("AULE_FLASH_DIAG", "AULE_FLASH_DIAG_STRIPS",
+           "AULE_FLASH_DIAG_PAIR"):
     os.environ.pop(kk, None)
 print("OK", flush=True)
