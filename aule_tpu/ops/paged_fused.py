@@ -223,12 +223,15 @@ def _fused_decode_kernel(
     quantized: bool,
     int8_path: bool,
     return_lse: bool,
+    nbatch: int,
+    cross_batch: bool,
 ):
     rest = list(rest)
     sc_hbm = rest.pop(0) if quantized else None  # [P, page, 128] bf16
     qf_ref = rest.pop(0) if int8_path else None  # [1, HkvGp, 128] f32
     o_ref = rest.pop(0)
     lse_ref = rest.pop(0) if return_lse else None
+    sb_ref = rest.pop() if cross_batch else None  # SMEM slot-parity baton
     if quantized:
         (m_scr, l_scr, acc_scr, kv_buf, sc_buf, kv_sem, sc_sem) = rest
     else:
@@ -246,23 +249,66 @@ def _fused_decode_kernel(
         b, ppcb, quantized, kv_hbm, sc_hbm, bt_ref, cont_ref,
         kv_buf, sc_buf, kv_sem, sc_sem)
 
+    if cross_batch:
+        # Cross-batch pipeline: batch b's LAST live block prefetches
+        # batch b+1's first block, so short contexts (few blocks per
+        # sequence) don't expose a DMA fill at every batch boundary.
+        # Double-buffer slots keep alternating ACROSS batches — the
+        # starting slot parity rides an SMEM baton (requires sequential
+        # grid order: the batch dim is "arbitrary", not "parallel").
+        bp1 = jnp.minimum(b + 1, nbatch - 1)
+        start_dma_next, _ = _page_dma_helpers(
+            bp1, ppcb, quantized, kv_hbm, sc_hbm, bt_ref, cont_ref,
+            kv_buf, sc_buf, kv_sem, sc_sem)
+
+        @pl.when(jnp.logical_and(b == 0, i == 0))
+        def _baton0():
+            sb_ref[0] = 0
+
     @pl.when(i == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        @pl.when(n_live > 0)
-        def _():
-            start_dma(0, 0)
+        if cross_batch:
+            # self-start only when no predecessor prefetched for us
+            # (first batch, or the previous batch had no live blocks)
+            bm1 = jnp.maximum(b - 1, 0)
+            prev_empty = pl.cdiv(ctx_ref[bm1], tokens_per_block) == 0
+
+            @pl.when(jnp.logical_and(
+                n_live > 0, jnp.logical_or(b == 0, prev_empty)))
+            def _():
+                start_dma(0, jax.lax.rem(sb_ref[0], 2))
+        else:
+            @pl.when(n_live > 0)
+            def _():
+                start_dma(0, 0)
 
     @pl.when(i < n_live)
     def _compute():
-        slot = jax.lax.rem(i, 2)
+        base = sb_ref[0] if cross_batch else 0
+        slot = jax.lax.rem(base + i, 2)
 
         @pl.when(i + 1 < n_live)
         def _prefetch():
             start_dma(i + 1, 1 - slot)
+
+        if cross_batch:
+            last = i == n_live - 1
+            next_live = jnp.logical_and(
+                b + 1 < nbatch,
+                pl.cdiv(ctx_ref[jnp.minimum(b + 1, nbatch - 1)],
+                        tokens_per_block) > 0)
+
+            @pl.when(jnp.logical_and(last, next_live))
+            def _prefetch_next_batch():
+                start_dma_next(0, jax.lax.rem(base + n_live, 2))
+
+            @pl.when(last)
+            def _pass_baton():
+                sb_ref[0] = jax.lax.rem(base + n_live, 2)
 
         wait_dma(slot)
 
@@ -487,6 +533,12 @@ def paged_attention_fused(
                                   kv_scales.dtype))
         sems.append(pltpu.SemaphoreType.DMA((2,)))
 
+    import os as _os
+    cross_batch = _os.environ.get("AULE_DECODE_XBATCH", "1") == "1"
+    if cross_batch:
+        # the slot-parity baton unpacks LAST in the kernel (rest.pop())
+        sems.append(pltpu.SMEM((1,), jnp.int32))
+
     # per-(seq, block) physical-contiguity flags for DMA coalescing
     bt_blocks = block_tables.reshape(batch, n_blocks, ppcb)
     expected = bt_blocks[..., :1] + jnp.arange(ppcb, dtype=jnp.int32)
@@ -517,6 +569,7 @@ def paged_attention_fused(
         page_size=page_size, ppcb=ppcb, n_blocks=n_blocks,
         hkv=hkv, gp=gp, scale=float(scale), window=window,
         quantized=quantized, int8_path=int8_path, return_lse=return_lse,
+        nbatch=batch, cross_batch=cross_batch,
     )
 
     results = pl.pallas_call(
@@ -524,7 +577,11 @@ def paged_attention_fused(
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # batch must execute in grid order for the cross-batch DMA
+            # baton (one TensorCore runs the grid sequentially anyway)
+            dimension_semantics=(
+                ("arbitrary" if cross_batch else "parallel"),
+                "arbitrary"),
         ),
         interpret=interpret,
     )(context_lens.astype(jnp.int32), block_tables.astype(jnp.int32),

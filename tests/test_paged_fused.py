@@ -278,3 +278,24 @@ def test_fused_quantized_window():
     err = np.abs(got - want).max()
     assert err < 4e-2, f"int8 window decode err {err}"
     assert np.isfinite(got).all()
+
+
+def test_fused_decode_empty_and_mixed_contexts():
+    """Cross-batch DMA pipelining threads a slot-parity baton through the
+    batch walk (paged_fused.py::_fused_decode_kernel); empty (ctx=0)
+    slots break the prefetch chain and successors must self-start.
+    Covers: leading empty, empty between live, trailing empty, and
+    lengths that split into different live-block counts."""
+    ctx = np.array([0, 37, 0, 0, 250, 16, 0, 128], np.int32)
+    batch, hkv, hq, d, page = len(ctx), 2, 8, 64, 16
+    k_pages, v_pages, bt = make_cache(batch, hkv, d, 64, page, 16, ctx)
+    q = np.random.default_rng(7).standard_normal((batch, hq, d)).astype(
+        np.float32)
+    kv = to_fused_layout(jnp.asarray(k_pages), jnp.asarray(v_pages))
+    got = paged_attention_fused(
+        jnp.asarray(q), kv, jnp.asarray(bt), jnp.asarray(ctx),
+        pages_per_compute_block=2)
+    want = paged_attention_reference(q, k_pages, v_pages, bt, ctx)
+    live = ctx > 0
+    assert_close(np.asarray(got)[live], np.asarray(want)[live],
+                 3e-5, 3e-5, "fused decode with empty slots")
