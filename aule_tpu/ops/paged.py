@@ -60,6 +60,8 @@ def _paged_decode_kernel(
     max_pages: int,
     quantized: bool,
     return_lse: bool,
+    nbatch: int,
+    cross_batch: bool,
 ):
     """Head-ganged decode step: ALL kv heads ride one strided DMA per page.
 
@@ -76,6 +78,7 @@ def _paged_decode_kernel(
     vs_hbm = rest.pop(0) if quantized else None
     o_ref = rest.pop(0)
     lse_ref = rest.pop(0) if return_lse else None
+    sb_ref = rest.pop() if cross_batch else None  # SMEM slot-parity baton
     if quantized:
         (m_scr, l_scr, acc_scr, s_scr, k_buf, v_buf, ks_buf, vs_buf,
          k_sem, v_sem, ks_sem, vs_sem) = rest
@@ -92,10 +95,10 @@ def _paged_decode_kernel(
     tokens_per_block = page_size * ppcb
     n_live = pl.cdiv(length, tokens_per_block)
 
-    def start_dma(block_idx, slot):
+    def start_dma_for(bb, block_idx, slot):
         """One strided all-heads descriptor per (page, pool)."""
         for p in range(ppcb):
-            page_id = bt_ref[b, block_idx * ppcb + p]
+            page_id = bt_ref[bb, block_idx * ppcb + p]
             page_id = jnp.maximum(page_id, 0)  # -1 sentinel -> page 0
             pltpu.make_async_copy(
                 k_hbm.at[:, page_id], k_buf.at[slot, :, p], k_sem.at[slot]
@@ -129,23 +132,64 @@ def _paged_decode_kernel(
                     vs_hbm.at[:, 0], vs_buf.at[slot, :, p], vs_sem.at[slot]
                 ).wait()
 
+    start_dma = functools.partial(start_dma_for, b)
+
+    if cross_batch:
+        # Cross-batch pipeline (mirrors paged_fused.py): batch b's LAST
+        # live block prefetches batch b+1's first block so short contexts
+        # don't expose a full slab-fill DMA at every batch boundary.
+        # Slot parity rides an SMEM baton; requires sequential grid order
+        # (batch dim switched to "arbitrary" by the wrapper).
+        bp1 = jnp.minimum(b + 1, nbatch - 1)
+
+        @pl.when(jnp.logical_and(b == 0, i == 0))
+        def _baton0():
+            sb_ref[0] = 0
+
     @pl.when(i == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        @pl.when(n_live > 0)
-        def _():
-            start_dma(0, 0)
+        if cross_batch:
+            # self-start only when no predecessor prefetched for us
+            # (first batch, or the previous batch had no live blocks)
+            bm1 = jnp.maximum(b - 1, 0)
+            prev_empty = pl.cdiv(ctx_ref[bm1], tokens_per_block) == 0
+
+            @pl.when(jnp.logical_and(
+                n_live > 0, jnp.logical_or(b == 0, prev_empty)))
+            def _():
+                start_dma(0, jax.lax.rem(sb_ref[0], 2))
+        else:
+            @pl.when(n_live > 0)
+            def _():
+                start_dma(0, 0)
 
     @pl.when(i < n_live)
     def _compute():
-        slot = jax.lax.rem(i, 2)
+        base = sb_ref[0] if cross_batch else 0
+        slot = jax.lax.rem(base + i, 2)
 
         @pl.when(i + 1 < n_live)
         def _prefetch():
             start_dma(i + 1, 1 - slot)
+
+        if cross_batch:
+            last = i == n_live - 1
+            next_live = jnp.logical_and(
+                b + 1 < nbatch,
+                pl.cdiv(ctx_ref[jnp.minimum(b + 1, nbatch - 1)],
+                        tokens_per_block) > 0)
+
+            @pl.when(jnp.logical_and(last, next_live))
+            def _prefetch_next_batch():
+                start_dma_for(bp1, 0, jax.lax.rem(base + n_live, 2))
+
+            @pl.when(last)
+            def _pass_baton():
+                sb_ref[0] = jax.lax.rem(base + n_live, 2)
 
         wait_dma(slot)
 
@@ -347,6 +391,12 @@ def paged_attention(
         sems += [pltpu.SemaphoreType.DMA((2,)),
                  pltpu.SemaphoreType.DMA((2,))]
 
+    import os as _os
+    cross_batch = _os.environ.get("AULE_DECODE_XBATCH", "1") == "1"
+    if cross_batch:
+        # the slot-parity baton unpacks LAST in the kernel (rest.pop())
+        sems.append(pltpu.SMEM((1,), jnp.int32))
+
     out_specs = [
         pl.BlockSpec((1, hkv, gp, d), lambda b, i, *_: (b, 0, 0, 0)),
     ]
@@ -370,6 +420,7 @@ def paged_attention(
         hkv=hkv, page_size=page_size, ppcb=ppcb, n_blocks=n_blocks,
         scale=float(scale), window=window, max_pages=max_pages,
         quantized=quantized, return_lse=return_lse,
+        nbatch=batch, cross_batch=cross_batch,
     )
 
     results = pl.pallas_call(
@@ -377,7 +428,11 @@ def paged_attention(
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # batch must execute in grid order for the cross-batch DMA
+            # baton (one TensorCore runs the grid sequentially anyway)
+            dimension_semantics=(
+                ("arbitrary" if cross_batch else "parallel"),
+                "arbitrary"),
         ),
         interpret=interpret,
     )(context_lens.astype(jnp.int32), block_tables.astype(jnp.int32),

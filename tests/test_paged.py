@@ -173,3 +173,24 @@ def test_paged_zero_length_context_is_zero():
         jnp.asarray(bt), jnp.asarray(ctx), pages_per_compute_block=2))
     assert np.isfinite(got).all()
     assert np.abs(got[1]).max() == 0.0
+
+
+def test_paged_decode_empty_and_mixed_contexts():
+    """Cross-batch DMA pipelining threads a slot-parity baton through the
+    batch walk (paged.py::_paged_decode_kernel, mirroring paged_fused);
+    empty (ctx=0) slots break the prefetch chain and successors must
+    self-start.  Covers: leading empty, empty between live, trailing
+    empty, and lengths splitting into different live-block counts."""
+    ctx = np.array([0, 37, 0, 0, 250, 16, 0, 128], np.int32)
+    batch, hkv, hq, d, page = len(ctx), 2, 8, 64, 16
+    k_pages, v_pages, bt = make_cache(batch, hkv, d, 64, page, 16, ctx)
+    q = np.random.default_rng(7).standard_normal((batch, hq, d)).astype(
+        np.float32)
+    got = np.asarray(paged_attention(
+        jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+        jnp.asarray(bt), jnp.asarray(ctx), pages_per_compute_block=2))
+    want = np.asarray(paged_attention_reference(q, k_pages, v_pages, bt, ctx))
+    live = ctx > 0
+    assert_close(got[live], want[live], 2e-5, 2e-5, "mixed/empty ctx")
+    assert np.isfinite(got).all()
+    assert np.abs(got[~live]).max() == 0.0
