@@ -94,8 +94,13 @@ def gpt2_params_from_hf(model_or_sd, cfg, dtype=None) -> Dict[str, Any]:
         layers.append({
             "ln1_g": w(p + "ln_1.weight"),
             "ln1_b": w(p + "ln_1.bias"),
-            "w_qkv": w(p + "attn.c_attn.weight"),
-            "qkv_b": w(p + "attn.c_attn.bias"),
+            # HF c_attn is fused [dim, 3*dim] with [Q|K|V] column blocks;
+            # repack to qkv-major [3, dim, dim] (gpt2.py layout, which
+            # head-shards under P(None, None, "model"))
+            "w_qkv": jnp.transpose(
+                w(p + "attn.c_attn.weight").reshape(cfg.dim, 3, cfg.dim),
+                (1, 0, 2)),
+            "qkv_b": w(p + "attn.c_attn.bias").reshape(3, cfg.dim),
             "w_proj": w(p + "attn.c_proj.weight"),
             "proj_b": w(p + "attn.c_proj.bias"),
             "ln2_g": w(p + "ln_2.weight"),

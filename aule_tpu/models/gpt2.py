@@ -19,8 +19,14 @@ from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from ..ops.flash import flash_attention_fwd
+
+if hasattr(jax, "shard_map"):
+    shard_map = jax.shard_map
+else:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 
 @dataclasses.dataclass
@@ -58,6 +64,30 @@ class GPT2Config:
         return cls(**defaults)
 
 
+# PartitionSpecs for tensor-parallel sharding over a (data, model) mesh
+# (llama.py::param_specs analog; MHA heads shard over `model`).
+def param_specs(cfg: GPT2Config) -> Dict[str, Any]:
+    layer = {
+        "ln1_g": P(None), "ln1_b": P(None),
+        "w_qkv": P(None, None, "model"),   # [3, dim, H*Dh] heads sharded
+        "qkv_b": P(None, "model"),
+        "w_proj": P("model", None),        # [H*Dh, dim] row-sharded
+        "proj_b": P(None),
+        "ln2_g": P(None), "ln2_b": P(None),
+        "w_fc": P(None, "model"),
+        "fc_b": P("model"),
+        "w_out": P("model", None),
+        "out_b": P(None),
+    }
+    return {
+        "wte": P(None, None),
+        "wpe": P(None, None),
+        "final_ln_g": P(None),
+        "final_ln_b": P(None),
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+    }
+
+
 def init_params(cfg: GPT2Config, key: jax.Array) -> Dict[str, Any]:
     def dense(key, fan_in, shape):
         return (jax.random.normal(key, shape, jnp.float32)
@@ -77,8 +107,12 @@ def init_params(cfg: GPT2Config, key: jax.Array) -> Dict[str, Any]:
         params["layers"].append({
             "ln1_g": jnp.ones((cfg.dim,), cfg.dtype),
             "ln1_b": jnp.zeros((cfg.dim,), cfg.dtype),
-            "w_qkv": dense(k[0], cfg.dim, (cfg.dim, 3 * cfg.dim)),
-            "qkv_b": jnp.zeros((3 * cfg.dim,), cfg.dtype),
+            # qkv-major [3, dim, n_heads*head_dim]: each of Q/K/V is a
+            # head-contiguous column block, so P(None, None, "model")
+            # head-shards all three cleanly (the fused [dim, 3*dim]
+            # layout cannot express that as a PartitionSpec)
+            "w_qkv": dense(k[0], cfg.dim, (3, cfg.dim, cfg.dim)),
+            "qkv_b": jnp.zeros((3, cfg.dim), cfg.dtype),
             "w_proj": dense(k[1], cfg.dim, (cfg.dim, cfg.dim)),
             "proj_b": jnp.zeros((cfg.dim,), cfg.dtype),
             "ln2_g": jnp.ones((cfg.dim,), cfg.dtype),
@@ -109,11 +143,10 @@ def _merge(x):
 
 
 def _qkv(layer, h, cfg):
-    qkv = h @ layer["w_qkv"] + layer["qkv_b"]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    return (_split(q, cfg.n_heads, cfg.head_dim),
-            _split(k, cfg.n_heads, cfg.head_dim),
-            _split(v, cfg.n_heads, cfg.head_dim))
+    w, bias = layer["w_qkv"], layer["qkv_b"]
+    return (_split(h @ w[0] + bias[0], cfg.n_heads, cfg.head_dim),
+            _split(h @ w[1] + bias[1], cfg.n_heads, cfg.head_dim),
+            _split(h @ w[2] + bias[2], cfg.n_heads, cfg.head_dim))
 
 
 def _mlp(layer, x, cfg):
@@ -135,8 +168,21 @@ def forward(
     data_axis: str = "data",
     model_axis: str = "model",
 ):
-    """Causal-LM forward; returns logits [B, S, V] (+ per-layer (k, v))."""
-    del mesh, data_axis, model_axis  # MHA tp: future work
+    """Causal-LM forward; returns logits [B, S, V] (+ per-layer (k, v)).
+
+    With `mesh`, attention runs as a shard_map island (batch on
+    `data_axis`, MHA heads on `model_axis`) and the dense layers
+    partition via GSPMD from param_specs (llama.py::forward analog)."""
+    def _attn_local(q, k, v):
+        return flash_attention_fwd(q, k, v, causal=True, return_lse=False)
+
+    if mesh is None:
+        attn_fn = _attn_local
+    else:
+        spec = P(data_axis, model_axis, None, None)
+        attn_fn = shard_map(_attn_local, mesh=mesh,
+                            in_specs=(spec, spec, spec), out_specs=spec,
+                            check_vma=False)
     b, s = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
@@ -147,7 +193,7 @@ def forward(
         q, k, v = _qkv(layer, h, cfg)
         if return_kv:
             kv_out.append((k, v))
-        attn = flash_attention_fwd(q, k, v, causal=True, return_lse=False)
+        attn = attn_fn(q, k, v)
         x = x + _merge(attn) @ layer["w_proj"] + layer["proj_b"]
         x = _mlp(layer, x, cfg)
     x = layer_norm(x, params["final_ln_g"], params["final_ln_b"],
@@ -172,38 +218,57 @@ def decode_step_fused(
     mesh=None,
     model_axis: str = "model",
 ):
-    """One decode step over fused pools (signature mirrors llama's)."""
-    if mesh is not None:
-        raise NotImplementedError(
-            "gpt2 tensor-parallel serving: future work (MHA head "
-            "sharding needs the fused w_qkv split sharded)")
+    """One decode step over fused pools (signature mirrors llama's).
+
+    With `mesh`, the append+attend is a shard_map island with MHA heads
+    sharded over `model_axis` (llama.py::decode_step_fused analog);
+    pools are head-sharded [P, 2, Hkv/tp, page, D]."""
     from ..ops.paged_fused import (
         kv_cache_append_decode_fused,
         paged_attention_fused,
     )
 
     quantized = kv_scales is not None
+
+    def _attend_local(q, k, v, kvp, sc, bt, lens):
+        if quantized:
+            kvp, sc, lens_out = kv_cache_append_decode_fused(
+                kvp, k, v, bt, lens, kv_scales=sc)
+            attn = paged_attention_fused(q, kvp, bt, lens_out,
+                                         kv_scales=sc)
+        else:
+            kvp, lens_out = kv_cache_append_decode_fused(
+                kvp, k, v, bt, lens)
+            attn = paged_attention_fused(q, kvp, bt, lens_out)
+        return attn, kvp, sc, lens_out
+
+    if mesh is not None:
+        hspec = P(None, model_axis, None)
+        pool_spec = P(None, None, model_axis, None, None)
+        sc_spec = P(None, None, model_axis) if quantized else P()
+        attend = shard_map(
+            _attend_local, mesh=mesh,
+            in_specs=(hspec, hspec, hspec, pool_spec, sc_spec,
+                      P(None, None), P(None)),
+            out_specs=(hspec, pool_spec, sc_spec, P(None)),
+            check_vma=False)
+    else:
+        attend = _attend_local
+
     x = params["wte"][token] + params["wpe"][positions]
     new_kv, new_sc = [], []
     lens_out = context_lens
     for li, layer in enumerate(params["layers"]):
         h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], cfg.norm_eps)
-        qkv = h @ layer["w_qkv"] + layer["qkv_b"]
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(-1, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(-1, cfg.n_heads, cfg.head_dim)
-        v = v.reshape(-1, cfg.n_heads, cfg.head_dim)
+        w, bias = layer["w_qkv"], layer["qkv_b"]
+        q = (h @ w[0] + bias[0]).reshape(-1, cfg.n_heads, cfg.head_dim)
+        k = (h @ w[1] + bias[1]).reshape(-1, cfg.n_heads, cfg.head_dim)
+        v = (h @ w[2] + bias[2]).reshape(-1, cfg.n_heads, cfg.head_dim)
+        sci = kv_scales[li] if quantized else jnp.zeros((), jnp.float32)
+        attn, kv, sc, lens_out = attend(
+            q, k, v, kv_pages[li], sci, block_tables, context_lens)
         if quantized:
-            kv, sc, lens_out = kv_cache_append_decode_fused(
-                kv_pages[li], k, v, block_tables, context_lens,
-                kv_scales=kv_scales[li])
             new_sc.append(sc)
-            attn = paged_attention_fused(q, kv, block_tables, lens_out,
-                                         kv_scales=sc)
-        else:
-            kv, lens_out = kv_cache_append_decode_fused(
-                kv_pages[li], k, v, block_tables, context_lens)
-            attn = paged_attention_fused(q, kv, block_tables, lens_out)
         new_kv.append(kv)
         x = x + attn.reshape(-1, cfg.dim) @ layer["w_proj"] + layer["proj_b"]
         x = _mlp(layer, x, cfg)
@@ -229,16 +294,44 @@ def prefill_step_fused(
     mesh=None,
     model_axis: str = "model",
 ):
-    """Chunked prefill over fused pools (signature mirrors llama's)."""
-    if mesh is not None:
-        raise NotImplementedError(
-            "gpt2 tensor-parallel serving: future work")
+    """Chunked prefill over fused pools (signature mirrors llama's).
+
+    With `mesh`, append+attend shard MHA heads over `model_axis`
+    (llama.py::prefill_step_fused analog)."""
     from ..ops.paged_fused import (
         kv_cache_append_prefill_fused,
         paged_attention_prefill,
     )
 
     quantized = kv_scales is not None
+
+    def _attend_local(q, k, v, kvp, sc, bt, qoff, slens):
+        if quantized:
+            kvp, sc, lens_out = kv_cache_append_prefill_fused(
+                kvp, k, v, bt, qoff, slens, kv_scales=sc)
+            attn = paged_attention_prefill(
+                q, kvp, bt, lens_out, q_offsets=qoff, causal=True,
+                kv_scales=sc)
+        else:
+            kvp, lens_out = kv_cache_append_prefill_fused(
+                kvp, k, v, bt, qoff, slens)
+            attn = paged_attention_prefill(
+                q, kvp, bt, lens_out, q_offsets=qoff, causal=True)
+        return attn, kvp, sc, lens_out
+
+    if mesh is not None:
+        hspec = P(None, model_axis, None, None)
+        pool_spec = P(None, None, model_axis, None, None)
+        sc_spec = P(None, None, model_axis) if quantized else P()
+        attend = shard_map(
+            _attend_local, mesh=mesh,
+            in_specs=(hspec, hspec, hspec, pool_spec, sc_spec,
+                      P(None, None), P(None), P(None)),
+            out_specs=(hspec, pool_spec, sc_spec, P(None)),
+            check_vma=False)
+    else:
+        attend = _attend_local
+
     b, s_chunk = tokens.shape
     positions = q_offsets[:, None] + jnp.arange(s_chunk, dtype=jnp.int32)
     x = params["wte"][tokens] + params["wpe"][positions]
@@ -247,20 +340,11 @@ def prefill_step_fused(
     for li, layer in enumerate(params["layers"]):
         h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], cfg.norm_eps)
         q, k, v = _qkv(layer, h, cfg)
+        sci = kv_scales[li] if quantized else jnp.zeros((), jnp.float32)
+        attn, kv, sc, lens_out = attend(
+            q, k, v, kv_pages[li], sci, block_tables, q_offsets, seq_lens)
         if quantized:
-            kv, sc, lens_out = kv_cache_append_prefill_fused(
-                kv_pages[li], k, v, block_tables, q_offsets, seq_lens,
-                kv_scales=kv_scales[li])
             new_sc.append(sc)
-            attn = paged_attention_prefill(
-                q, kv, block_tables, lens_out, q_offsets=q_offsets,
-                causal=True, kv_scales=sc)
-        else:
-            kv, lens_out = kv_cache_append_prefill_fused(
-                kv_pages[li], k, v, block_tables, q_offsets, seq_lens)
-            attn = paged_attention_prefill(
-                q, kv, block_tables, lens_out, q_offsets=q_offsets,
-                causal=True)
         new_kv.append(kv)
         x = x + _merge(attn) @ layer["w_proj"] + layer["proj_b"]
         x = _mlp(layer, x, cfg)

@@ -95,3 +95,48 @@ def test_engine_rejects_seq_beyond_n_ctx(params):
         ServingEngine(params, CFG, max_batch=2, page_size=16,
                       num_pages=64, max_pages_per_seq=32,
                       max_seq_len=CFG.n_ctx + 64, model=gpt2)
+
+
+def test_gpt2_forward_tensor_parallel(params):
+    """forward(mesh=) — MHA heads sharded over `model` (the qkv-major
+    [3, dim, H*Dh] w_qkv layout head-shards under param_specs) — matches
+    the single-device forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from aule_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((2, 2), ("data", "model"),
+                     devices=jax.devices()[:4])
+    sharded = jax.device_put(
+        params, jax.tree.map(
+            lambda s: NamedSharding(mesh, s), gpt2.param_specs(CFG),
+            is_leaf=lambda x: isinstance(x, P)))
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(0, 256, size=(2, 24)), jnp.int32)
+    want = gpt2.forward(params, tokens, CFG)
+    got = gpt2.forward(sharded, tokens, CFG, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_engine_gpt2_tensor_parallel_fused(params, quant):
+    """TP serving for the GPT-2 family on the fused fast path: mesh
+    engine generates the same tokens as the single-device engine
+    (removes r2's NotImplementedError, VERDICT §2.1 HF-patching row)."""
+    from aule_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, 256, size=n).astype(np.int32)
+               for n in (7, 13)]
+    outs = {}
+    for mesh in (None, make_mesh((1, 2), ("data", "model"),
+                                 devices=jax.devices()[:2])):
+        eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256, model=gpt2, layout="fused",
+                            mesh=mesh, quantized=quant)
+        for p in prompts:
+            eng.submit(p, max_new_tokens=5)
+        outs[mesh is None] = [r.output for r in eng.run()]
+    assert outs[True] == outs[False], (outs[True], outs[False])
