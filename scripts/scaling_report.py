@@ -77,6 +77,12 @@ def main():
 def run_processes(args):
     import time
 
+    # process mode measures pool+transport overhead with CPU workers by
+    # design; pin the parent to CPU too so the direct baseline is
+    # comparable (and so a remote-TPU tunnel outage can't hang jax init)
+    import jax as _jaxp
+    _jaxp.config.update("jax_platforms", "cpu")
+
     from aule_tpu.serving.multihost import MultiProcessServingPool
 
     rng = np.random.default_rng(0)
