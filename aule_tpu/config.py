@@ -148,6 +148,20 @@ class AuleConfig:
       AULE_TPU_INT8_EXACT  = 1                      (int8 pools: exact
                              dequant-then-bf16-matmul path instead of the
                              ~2x-faster int8-MXU path with ~1% extra error)
+      AULE_DECODE_XBATCH   = 0  (disable the cross-batch DMA baton in the
+                             paged decode kernels)
+      AULE_FLASH_DIAG      = 0  (disable the diagonal-strip causal
+                             schedule; AULE_FLASH_DIAG_STRIPS=n,
+                             AULE_FLASH_DIAG_PAIR=1 tune it)
+
+    The kernel-schedule knobs (decode_xbatch, flash_diag*) default to
+    None = read the env var LIVE at each trace, so a fallback that flips
+    the env (bench.py) still takes effect on fresh traces; setting the
+    field pins the value regardless of env.  Note all knobs bind at
+    TRACE time — already-jitted shapes keep the kernel they compiled
+    with (flash.py's schedule notes).  Debug-only diagnosis knobs
+    (AULE_FLASH_DEBUG_FORCE_CLEAN, AULE_FLASH_BODY, AULE_FLASH_PIPELINE,
+    AULE_BWD_BKV) stay env-only by design.
     """
 
     backend: Optional[str] = None  # None = auto-detect
@@ -164,6 +178,11 @@ class AuleConfig:
     initial_pages: int = 512
     max_pages: int = 8192
     max_pages_per_seq: int = 256
+    # kernel-schedule knobs: None = read the env var live at trace time
+    decode_xbatch: Optional[bool] = None      # AULE_DECODE_XBATCH
+    flash_diag: Optional[bool] = None         # AULE_FLASH_DIAG
+    flash_diag_strips: Optional[int] = None   # AULE_FLASH_DIAG_STRIPS
+    flash_diag_pair: Optional[bool] = None    # AULE_FLASH_DIAG_PAIR
 
     @classmethod
     def from_env(cls) -> "AuleConfig":
@@ -188,6 +207,34 @@ def get_config() -> AuleConfig:
 def set_config(cfg: AuleConfig) -> None:
     global _config
     _config = cfg
+
+
+def _knob_bool(field: Optional[bool], env: str, default: bool) -> bool:
+    return _env_bool(env, default) if field is None else field
+
+
+def decode_xbatch() -> bool:
+    """Cross-batch DMA baton in the paged decode kernels (trace-time)."""
+    return _knob_bool(get_config().decode_xbatch, "AULE_DECODE_XBATCH",
+                      True)
+
+
+def flash_diag() -> bool:
+    """Diagonal-strip causal schedule in flash fwd/bwd (trace-time)."""
+    return _knob_bool(get_config().flash_diag, "AULE_FLASH_DIAG", True)
+
+
+def flash_diag_strips() -> int:
+    cfg = get_config()
+    if cfg.flash_diag_strips is not None:
+        return cfg.flash_diag_strips
+    import os
+    return int(os.environ.get("AULE_FLASH_DIAG_STRIPS", "4"))
+
+
+def flash_diag_pair() -> bool:
+    return _knob_bool(get_config().flash_diag_pair, "AULE_FLASH_DIAG_PAIR",
+                      False)
 
 
 def get_tile_config(device_kind: Optional[str] = None,

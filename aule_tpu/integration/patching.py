@@ -150,6 +150,7 @@ def _torch_to_jax(t):
     except Exception:
         import torch
 
+        t = t.cpu()  # accelerator tensors can't .numpy() directly
         if t.dtype == torch.bfloat16:  # numpy has no bf16
             return jnp.asarray(t.view(torch.uint16).numpy()).view(
                 jnp.bfloat16)

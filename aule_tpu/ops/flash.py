@@ -107,6 +107,7 @@ def _fwd_kernel(
     ragged: bool,
     dynamic_kv_len: bool,
     diag_strips: int,
+    diag_pair: bool,
     pipeline: bool,
 ):
     refs = list(refs)
@@ -395,8 +396,7 @@ def _fwd_kernel(
         # aligned causal self-attention: chunks are interior (maskless),
         # the block-aligned triangular diagonal (strip-decomposed), or
         # dead — still two @pl.when regions per chunk.
-        pair = (_os.environ.get("AULE_FLASH_DIAG_PAIR") == "1"
-                and n_sub % 2 == 0)
+        pair = diag_pair and n_sub % 2 == 0
         if pair:
             # run adjacent interior chunks as ONE 2*bkvc-wide body (the
             # maskless chunk rate peaks at c2048: 154 vs 145 TF/s) at
@@ -589,7 +589,8 @@ def flash_attention_fwd(
     # strip-decompose (see _diag_body).  Costs `gqa`x more K/V DMA traffic
     # (~12% of runtime, double-buffered away); removes the bkvc/S
     # diagonal-waste term of the causal MFU model.
-    import os as _os
+    from ..config import flash_diag, flash_diag_strips
+    from ..config import flash_diag_pair as _flash_diag_pair
     diag_strips = 0
     tiles = get_tile_config(head_dim=d, seq=seq_k, causal=causal)
     d_scale = max(1, d // 128)
@@ -599,8 +600,8 @@ def flash_attention_fwd(
     if (causal and window <= 0 and kv_len is None
             and seq_q == seq_k and seq_q % diag_bq == 0
             and block_q is None and block_kv_compute is None
-            and _os.environ.get("AULE_FLASH_DIAG", "1") == "1"):
-        diag_strips = int(_os.environ.get("AULE_FLASH_DIAG_STRIPS", "4"))
+            and flash_diag()):
+        diag_strips = flash_diag_strips()
         group = 1
         block_q, block_kv_compute = diag_bq, diag_bq
 
@@ -709,7 +710,7 @@ def flash_attention_fwd(
         n_kv=n_kv, use_rope=use_rope, return_lse=return_lse,
         ragged=(sk_pad != seq_k) or dynamic_kv_len,
         dynamic_kv_len=dynamic_kv_len, diag_strips=diag_strips,
-        pipeline=pipeline,
+        diag_pair=_flash_diag_pair(), pipeline=pipeline,
     )
 
     if interpret is None:

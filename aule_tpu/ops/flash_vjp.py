@@ -369,13 +369,13 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
     # triangle the kernel strip-decomposes.  dKV keeps the grouped
     # layout: its GQA rows ride the CONTRACTION dim, so splitting the
     # group would race the accumulating output block.
-    import os as _os
+    from ..config import flash_diag, flash_diag_strips
     dq_group, dq_bq, dq_bkv, dq_strips = group, bq, bkv, 0
     diag_bq = min(tiles.block_q_dq // d_scale, 1024)
     if (causal and window <= 0 and seq_q == seq_k
             and seq_q % diag_bq == 0 and diag_bq >= 32
-            and _os.environ.get("AULE_FLASH_DIAG", "1") == "1"):
-        dq_strips = int(_os.environ.get("AULE_FLASH_DIAG_STRIPS", "4"))
+            and flash_diag()):
+        dq_strips = flash_diag_strips()
         if (diag_bq % dq_strips == 0 and diag_bq // dq_strips >= 8
                 and not q_ragged and not k_ragged
                 and seq_q % diag_bq == 0):

@@ -324,15 +324,20 @@ def paged_attention(
             int8_matmul=False,
             return_lse=return_lse, interpret=interpret)
 
+    explicit_ppcb = pages_per_compute_block is not None
     ppcb = pages_per_compute_block or get_tile_config(
         head_dim=d, seq=max_pages * page_size).pages_per_compute_block
     ppcb = min(ppcb, max_pages)
     # The double-buffered all-heads slabs live in VMEM at
-    # 2 slots x 2 pools x Hkv x ppcb x page x D x itemsize: clamp ppcb to
-    # a ~6MB envelope (the fused kernel's _KV_BUF_BUDGET analog).
-    slab_bytes = hkv * page_size * d * k_pages.dtype.itemsize * 4
-    while ppcb > 1 and slab_bytes * ppcb > 6 * 1024 * 1024:
-        ppcb //= 2
+    # 2 slots x 2 pools x Hkv x ppcb x page x D x itemsize: clamp the
+    # TABLE-DERIVED ppcb to a ~6MB envelope (the fused kernel's
+    # _KV_BUF_BUDGET analog).  An explicitly passed value is honored
+    # as-is — silently halving it would corrupt tuning sweeps (Mosaic
+    # fails loudly on a genuine VMEM overflow).
+    if not explicit_ppcb:
+        slab_bytes = hkv * page_size * d * k_pages.dtype.itemsize * 4
+        while ppcb > 1 and slab_bytes * ppcb > 6 * 1024 * 1024:
+            ppcb //= 2
     # pad block table columns to a multiple of ppcb
     if max_pages % ppcb != 0:
         pad = ppcb - max_pages % ppcb
@@ -356,8 +361,11 @@ def paged_attention(
         v_pages = jnp.pad(v_pages, pad)
         q = jnp.pad(q, [(0, 0), (0, 0), (0, d - d_true)])
 
-    # group q heads per kv head; pad group dim to the sublane width
-    gp = max(MIN_GROUP_PAD, group)
+    # group q heads per kv head; pad group dim UP TO A MULTIPLE of the
+    # sublane width (the kernel slices scratch at sublane offsets h*gp,
+    # which Mosaic requires 8-aligned — gp=max(8, group) would break at
+    # e.g. group=12)
+    gp = -(-max(MIN_GROUP_PAD, group) // MIN_GROUP_PAD) * MIN_GROUP_PAD
     qg = q.reshape(batch, hkv, group, d)
     if gp != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
@@ -391,8 +399,8 @@ def paged_attention(
         sems += [pltpu.SemaphoreType.DMA((2,)),
                  pltpu.SemaphoreType.DMA((2,))]
 
-    import os as _os
-    cross_batch = _os.environ.get("AULE_DECODE_XBATCH", "1") == "1"
+    from ..config import decode_xbatch
+    cross_batch = decode_xbatch()
     if cross_batch:
         # the slot-parity baton unpacks LAST in the kernel (rest.pop())
         sems.append(pltpu.SMEM((1,), jnp.int32))

@@ -533,8 +533,8 @@ def paged_attention_fused(
                                   kv_scales.dtype))
         sems.append(pltpu.SemaphoreType.DMA((2,)))
 
-    import os as _os
-    cross_batch = _os.environ.get("AULE_DECODE_XBATCH", "1") == "1"
+    from ..config import decode_xbatch
+    cross_batch = decode_xbatch()
     if cross_batch:
         # the slot-parity baton unpacks LAST in the kernel (rest.pop())
         sems.append(pltpu.SMEM((1,), jnp.int32))

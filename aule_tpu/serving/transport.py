@@ -97,7 +97,8 @@ class QueueTransportServer:
                 if op == "get":
                     timeout = msg[2]
                     try:
-                        if timeout is None:
+                        if timeout == "nowait" or timeout is None:
+                            # None kept for wire-compat with old clients
                             item = q.get_nowait()
                         else:
                             item = q.get(timeout=timeout)
@@ -135,14 +136,22 @@ class RemoteQueue:
             _send_msg(self._sock, msg)
             return _recv_msg(self._sock)
 
-    def get(self, timeout: Optional[float] = 0.0):
-        reply = self._rpc(("get", self._name, timeout))
+    def get(self, timeout: Optional[float] = None):
+        """queue.Queue semantics: timeout=None blocks until an item
+        arrives (bounded server waits in a loop so one slow client
+        can't pin a server thread forever); timeout=x waits up to x."""
+        if timeout is None:
+            while True:
+                reply = self._rpc(("get", self._name, 1.0))
+                if reply[0] == "item":
+                    return reply[1]
+        reply = self._rpc(("get", self._name, float(timeout)))
         if reply[0] == "item":
             return reply[1]
         raise _queue.Empty()
 
     def get_nowait(self):
-        reply = self._rpc(("get", self._name, None))
+        reply = self._rpc(("get", self._name, "nowait"))
         if reply[0] == "item":
             return reply[1]
         raise _queue.Empty()
