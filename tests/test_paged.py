@@ -194,3 +194,19 @@ def test_paged_decode_empty_and_mixed_contexts():
     assert_close(got[live], want[live], 2e-5, 2e-5, "mixed/empty ctx")
     assert np.isfinite(got).all()
     assert np.abs(got[~live]).max() == 0.0
+
+
+def test_paged_decode_group_not_multiple_of_sublane():
+    """GQA group 12 (hq=24, hkv=2): scratch rows slice at h*gp, which
+    Mosaic requires 8-aligned — gp must pad UP TO A MULTIPLE of 8
+    (max(8, 12)=12 would mis-align; review r3)."""
+    batch, hq, hkv, d, page = 2, 24, 2, 64, 16
+    ctx = np.array([37, 129], np.int32)
+    k_pages, v_pages, bt = make_cache(batch, hkv, d, 32, page, 16, ctx)
+    q = np.random.default_rng(11).standard_normal((batch, hq, d)).astype(
+        np.float32)
+    got = paged_attention(
+        jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+        jnp.asarray(bt), jnp.asarray(ctx), pages_per_compute_block=2)
+    want = paged_attention_reference(q, k_pages, v_pages, bt, ctx)
+    assert_close(got, np.asarray(want), 2e-5, 2e-5, "group-12 paged")
