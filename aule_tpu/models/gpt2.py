@@ -293,8 +293,12 @@ def prefill_step_fused(
     kv_scales: Optional[List[jnp.ndarray]] = None,
     mesh=None,
     model_axis: str = "model",
+    all_logits: bool = False,
 ):
     """Chunked prefill over fused pools (signature mirrors llama's).
+
+    all_logits=True returns per-position logits [B, S, V] for
+    speculative-decode verification (llama.py analog).
 
     With `mesh`, append+attend shard MHA heads over `model_axis`
     (llama.py::prefill_step_fused analog)."""
@@ -348,11 +352,16 @@ def prefill_step_fused(
         new_kv.append(kv)
         x = x + _merge(attn) @ layer["w_proj"] + layer["proj_b"]
         x = _mlp(layer, x, cfg)
-    last = jnp.take_along_axis(
-        x, jnp.maximum(seq_lens - 1, 0)[:, None, None], axis=1)[:, 0]
-    last = layer_norm(last, params["final_ln_g"], params["final_ln_b"],
-                      cfg.norm_eps)
-    logits = (last @ params["wte"].T).astype(jnp.float32)
+    if all_logits:
+        xn = layer_norm(x, params["final_ln_g"], params["final_ln_b"],
+                        cfg.norm_eps)
+        logits = (xn @ params["wte"].T).astype(jnp.float32)  # [B, S, V]
+    else:
+        last = jnp.take_along_axis(
+            x, jnp.maximum(seq_lens - 1, 0)[:, None, None], axis=1)[:, 0]
+        last = layer_norm(last, params["final_ln_g"], params["final_ln_b"],
+                          cfg.norm_eps)
+        logits = (last @ params["wte"].T).astype(jnp.float32)
     if quantized:
         return logits, new_kv, lens_out, new_sc
     return logits, new_kv, lens_out

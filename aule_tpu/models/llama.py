@@ -462,12 +462,17 @@ def prefill_step_fused(
     kv_scales: Optional[List[jnp.ndarray]] = None,
     mesh=None,
     model_axis: str = "model",
+    all_logits: bool = False,
 ):
     """One CHUNKED-prefill step over fused pools: append the chunk's KV,
     then attend to cache history + chunk via ops/paged_fused.py's
     paged_attention_prefill.  Returns (last_logits [B, V], pools,
     new_lens[, scales]) — logits are for each sequence's LAST valid
     chunk token (the only row serving ever samples).
+
+    all_logits=True returns logits for EVERY chunk position [B, S, V]
+    instead — speculative-decode verification needs the target's
+    next-token distribution after each drafted token in one pass.
 
     With `mesh`, append+attend shard their head dims over `model_axis`
     (see decode_step_fused).
@@ -534,11 +539,15 @@ def prefill_step_fused(
         x = x + ((gate * (h @ layer["w_up"]).astype(jnp.float32)).astype(
             x.dtype) @ layer["w_down"])
 
-    # only the last valid row of each sequence is ever sampled
-    last = jnp.take_along_axis(
-        x, jnp.maximum(seq_lens - 1, 0)[:, None, None], axis=1)[:, 0]
-    last = rms_norm(last, params["final_norm"], cfg.norm_eps)
-    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    if all_logits:
+        xn = rms_norm(x, params["final_norm"], cfg.norm_eps)
+        logits = (xn @ params["lm_head"]).astype(jnp.float32)  # [B, S, V]
+    else:
+        # only the last valid row of each sequence is ever sampled
+        last = jnp.take_along_axis(
+            x, jnp.maximum(seq_lens - 1, 0)[:, None, None], axis=1)[:, 0]
+        last = rms_norm(last, params["final_norm"], cfg.norm_eps)
+        logits = (last @ params["lm_head"]).astype(jnp.float32)
     if quantized:
         return logits, new_kv, lens_out, new_sc
     return logits, new_kv, lens_out

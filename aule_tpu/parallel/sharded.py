@@ -2,7 +2,7 @@
 
 Entirely net-new vs the single-device reference (SURVEY.md §2.4): scaling on
 TPU comes from jax.shard_map over a Mesh with XLA collectives on ICI, not
-from a NCCL-like layer.  Three strategies, composable over a 2-D/3-D mesh:
+from a NCCL-like layer.  Four strategies, composable over a 2-D/3-D mesh:
 
   * head parallelism ('model' axis): Q and KV heads co-located per chip
     (GQA-friendly); zero communication inside attention.
@@ -13,6 +13,9 @@ from a NCCL-like layer.  Three strategies, composable over a 2-D/3-D mesh:
     jax.lax.ppermute while each chip computes; comm overlaps compute, and
     causal chunk relations decompose into {skip, diagonal, full} so
     off-diagonal chunks run the kernel with masking disabled.
+  * Ulysses sequence parallelism ('ctx' axis): all-to-alls trade the
+    sequence sharding for head sharding around an exact full-sequence
+    local kernel; comm is O(B·H·S·D/n), mask-structure-free.
 """
 
 from __future__ import annotations
@@ -204,6 +207,80 @@ def make_ring_attention(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Ulysses sequence parallelism: all-to-all head<->sequence re-sharding
+# ---------------------------------------------------------------------------
+
+def make_ulysses_attention(
+    mesh: Mesh,
+    *,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    window_size: int = -1,
+    seq_axis: str = "ctx",
+):
+    """Ulysses-style (DeepSpeed) sequence parallelism over `seq_axis`.
+
+    q/k/v arrive SEQUENCE-sharded ([B, H, S/n, D] per chip, the natural
+    layout coming out of sequence-sharded MLP/activations); one
+    all-to-all per operand re-shards HEADS over the axis while gathering
+    the full sequence ([B, H/n, S, D]), the local kernel runs exact
+    full-sequence attention — causal and sliding-window masks need no
+    ring-style chunk decomposition — and a final all-to-all restores
+    sequence sharding on the output.
+
+    The trade vs ring attention (SURVEY §2.4 net-new; both absent in
+    the single-device reference): Ulysses moves 4·B·H·S·D/n bytes per
+    chip in four dense all-to-alls (ICI-friendly, independent of any
+    causal structure) but caps the axis size at the head count;
+    ring attention keeps heads whole and hides KV rotation behind
+    compute.  Use Ulysses when n <= Hkv and the masks are complex;
+    ring when heads are few or S/n is large enough to hide the hops.
+
+    Differentiable end-to-end: all_to_all is linear (its transpose is
+    the reverse all_to_all) and the local core is the custom_vjp flash
+    op, so jax.grad sees the exact backward dataflow.
+    """
+    n = mesh.shape[seq_axis]
+
+    def local_fn(q, k, v):
+        def a2a_in(x):   # [B, h, S/n, D] -> [B, h/n, S, D]
+            return jax.lax.all_to_all(x, seq_axis, split_axis=1,
+                                      concat_axis=2, tiled=True)
+
+        o = flash_attention_vjp(
+            a2a_in(q), a2a_in(k), a2a_in(v), causal=causal, scale=scale,
+            window_size=window_size)
+        # [B, H/n, S, D] -> [B, H, S/n, D]
+        return jax.lax.all_to_all(o, seq_axis, split_axis=2,
+                                  concat_axis=1, tiled=True)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, None, seq_axis, None),
+                  P(None, None, seq_axis, None),
+                  P(None, None, seq_axis, None)),
+        out_specs=P(None, None, seq_axis, None),
+        check_vma=False,
+    )
+    jfn = jax.jit(fn)
+
+    def checked(q, k, v):
+        if q.shape[1] % n or k.shape[1] % n:
+            raise ValueError(
+                f"ulysses requires head counts divisible by the axis: "
+                f"Hq={q.shape[1]}, Hkv={k.shape[1]}, |{seq_axis}|={n} "
+                f"(use ring/context parallelism when heads don't split)")
+        if q.shape[2] % n or k.shape[2] % n:
+            raise ValueError(
+                f"sequence lengths must divide the axis for the "
+                f"all-to-all: Sq={q.shape[2]}, Sk={k.shape[2]}, n={n}")
+        return jfn(q, k, v)
+
+    return checked
 
 
 # ---------------------------------------------------------------------------

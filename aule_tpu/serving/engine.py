@@ -121,6 +121,10 @@ class ServingEngine:
         mesh=None,
         model_axis: str = "model",
         model=None,
+        draft_params: Optional[Dict[str, Any]] = None,
+        draft_cfg=None,
+        draft_model=None,
+        spec_tokens: int = 0,
     ):
         """layout='fused' (default) stores KV in the single-DMA-per-page
         pool layout (ops/paged_fused.py — the serving fast path);
@@ -138,7 +142,21 @@ class ServingEngine:
         both matmuls run s8xs8->s32 with per-row q/p quantization,
         ~2x bf16 tok/s at ~1% extra error vs the exact dequant path.
         Set AULE_TPU_INT8_EXACT=1 (or config.int8_exact=True) before
-        constructing the engine for bit-exact scale-folded dequant."""
+        constructing the engine for bit-exact scale-folded dequant.
+
+        Speculative decoding (spec_tokens=K > 0, draft_params/draft_cfg):
+        a small draft model autoregressively proposes K tokens per round,
+        the target model verifies all of them in ONE chunked-prefill pass
+        (prefill_step_fused with all_logits=True), and the engine emits
+        the longest agreeing prefix plus the target's own continuation —
+        1..K+1 tokens per target dispatch, TOKEN-IDENTICAL to plain
+        greedy decode.  The draft keeps its own fused KV pool addressed
+        by the same block tables (one allocator, two pools).  Rounds
+        only run while every active request is greedy (temperature 0)
+        and has >= K+1 tokens to go; otherwise the engine falls back to
+        the normal decode path mid-stream.  Requires layout='fused';
+        incompatible with enable_prefix_cache (cached pages hold target
+        KV only) and with engine-level sampler=/sample=."""
         self.params = params
         self.cfg = cfg
         # model family module (models/llama.py interface: forward,
@@ -249,6 +267,61 @@ class ServingEngine:
                     self.k_scales = jax.device_put(self.k_scales, sc_spec)
                     self.v_scales = jax.device_put(self.v_scales, sc_spec)
 
+        # Speculative decoding: draft model + its own fused pool (same
+        # page geometry, shared block tables -> one allocator serves both)
+        self.spec_tokens = int(spec_tokens)
+        self.spec_drafted = 0   # candidate tokens proposed (stats)
+        self.spec_accepted = 0  # candidates the target agreed with
+        self.dk_pages = None
+        self.dk_scales = None
+        if self.spec_tokens > 0:
+            if draft_params is None or draft_cfg is None:
+                raise ValueError(
+                    "spec_tokens > 0 requires draft_params and draft_cfg")
+            if layout != "fused":
+                raise ValueError("speculative decoding requires "
+                                 "layout='fused'")
+            if mesh is not None:
+                raise ValueError("speculative decoding does not compose "
+                                 "with tensor-parallel serving yet")
+            if enable_prefix_cache:
+                raise ValueError(
+                    "speculative decoding is incompatible with "
+                    "enable_prefix_cache: cached pages hold target KV "
+                    "only, so a prefix hit would leave the draft pool "
+                    "blank for those positions")
+            if sample is not None or sampler is not None:
+                raise ValueError(
+                    "speculative decoding is exact for greedy decoding "
+                    "only; drop sampler=/sample=")
+            tv = getattr(cfg, "vocab_size", None)
+            dv = getattr(draft_cfg, "vocab_size", None)
+            if tv is not None and dv is not None and tv != dv:
+                raise ValueError(
+                    f"draft vocab {dv} != target vocab {tv}: speculative "
+                    f"decoding requires a shared tokenizer")
+            self.draft_params = draft_params
+            self.draft_cfg = draft_cfg
+            self.draft_model = draft_model if draft_model is not None \
+                else self.model
+            self.draft_rope_cos, self.draft_rope_sin = \
+                precompute_rope_frequencies(
+                    max_seq_len, draft_cfg.head_dim, draft_cfg.rope_base)
+            from ..ops.paged_fused import fused_pool_shape
+
+            dshape = (draft_cfg.n_layers,) + fused_pool_shape(
+                num_pages, draft_cfg.n_kv_heads, page_size,
+                draft_cfg.head_dim)
+            self.dk_pages = jnp.zeros(dshape, pool_dtype)
+            if quantized:
+                from ..ops.paged_fused import (SCALE_DTYPE,
+                                               fused_scales_shape)
+
+                self.dk_scales = jnp.zeros(
+                    (draft_cfg.n_layers,) + fused_scales_shape(
+                        num_pages, draft_cfg.n_kv_heads, page_size),
+                    SCALE_DTYPE)
+
         self.allocator = make_allocator(num_pages)
         # Reserve page 0 as a scratch sink: empty batch slots carry -1
         # block tables which clamp to page 0, so their dummy decode
@@ -260,6 +333,10 @@ class ServingEngine:
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.slot_pages: List[List[int]] = [[] for _ in range(max_batch)]
         self.slot_lens = np.zeros((max_batch,), np.int32)
+        # speculative decoding: how far the DRAFT pool's KV has been
+        # written per slot (trails slot_lens during plain-decode
+        # fallback; _spec_all's catchup prefill closes the gap)
+        self.slot_dlens = np.zeros((max_batch,), np.int32)
         self.waiting: List[Request] = []
         self.finished: List[Request] = []
         self._next_id = 0
@@ -300,6 +377,12 @@ class ServingEngine:
         self._prefill_jit = jax.jit(
             self._prefill, static_argnames=("pad_len",))
         self._prefill_chunk_jit = jax.jit(self._prefill_chunk_step)
+        if self.spec_tokens > 0:
+            self._spec_jit = jax.jit(self._spec_step)
+            self._prefill_draft_jit = jax.jit(
+                self._prefill_draft, static_argnames=("pad_len",))
+            self._prefill_chunk_draft_jit = jax.jit(
+                self._prefill_chunk_draft_step)
 
     # -- public API ------------------------------------------------------
 
@@ -364,7 +447,95 @@ class ServingEngine:
     def step(self) -> None:
         self._admit()
         if self.num_running:
-            self._decode_all()
+            if self._spec_eligible():
+                self._spec_all()
+            else:
+                self._decode_all()
+
+    def _spec_eligible(self) -> bool:
+        """Speculative rounds run only when every active request is
+        greedy and has >= K+1 tokens to go (so the round's worst-case
+        K+1 cache appends stay inside the request's page budget) and
+        nothing is waiting for a slot (admission latency beats batching
+        a longer round, same rule as multi-step decode)."""
+        if self.spec_tokens <= 0 or self.waiting:
+            return False
+        for req in self.slots:
+            if req is None:
+                continue
+            if req.temperature > 0.0:
+                return False
+            if req.max_new_tokens - len(req.output) < self.spec_tokens + 1:
+                return False
+        return True
+
+    def _spec_all(self) -> None:
+        """One speculative round: draft K candidates, verify in one
+        target dispatch, emit the agreeing prefix + 1 (host trims eos
+        overshoot exactly like multi-step decode)."""
+        k = self.spec_tokens
+        b = self.max_batch
+        seqs: Dict[int, np.ndarray] = {}
+        for s, req in enumerate(self.slots):
+            if req is not None:
+                seqs[s] = np.concatenate(
+                    [req.prompt, np.asarray(req.output, np.int32)])
+        # Lag recovery: after a fallback-to-plain-decode stretch (a
+        # non-greedy request shared the batch) the draft pool trails the
+        # committed stream by more than one round's catchup window;
+        # replay the gap through draft-only chunk prefills first.
+        for s in seqs:
+            if self.slot_lens[s] + 1 - self.slot_dlens[s] <= k + 1:
+                continue
+            bt_row = np.full((self.max_pages_per_seq,), -1, np.int32)
+            pages = self.slot_pages[s]
+            bt_row[:len(pages)] = pages
+            bt_row = jnp.asarray(bt_row)
+            while self.slot_lens[s] + 1 - self.slot_dlens[s] > k + 1:
+                lo = int(self.slot_dlens[s])
+                tokens = seqs[s][lo:lo + k + 1][None]
+                self.dk_pages, self.dk_scales = \
+                    self._prefill_chunk_draft_jit(
+                        jnp.asarray(tokens, jnp.int32),
+                        jnp.asarray([lo], jnp.int32),
+                        jnp.asarray([k + 1], jnp.int32), bt_row,
+                        self.dk_pages, self.dk_scales)
+                self.slot_dlens[s] = lo + k + 1
+        catchup = np.zeros((b, k + 1), np.int32)
+        clen = np.zeros((b,), np.int32)
+        for s in seqs:
+            lo, hi = int(self.slot_dlens[s]), int(self.slot_lens[s]) + 1
+            catchup[s, :hi - lo] = seqs[s][lo:hi]
+            clen[s] = hi - lo
+        active = np.array([r is not None for r in self.slots])
+        (a, n_emit, m, self.k_pages, self.k_scales, self.dk_pages,
+         self.dk_scales) = self._spec_jit(
+            jnp.asarray(catchup), jnp.asarray(clen),
+            jnp.asarray(self.slot_dlens), jnp.asarray(self.slot_lens),
+            self._block_table(), self.k_pages, self.k_scales,
+            self.dk_pages, self.dk_scales, jnp.asarray(active))
+        a, n_emit, m = np.asarray(a), np.asarray(n_emit), np.asarray(m)
+        for s, req in enumerate(self.slots):
+            if req is None:
+                continue
+            lens_old = int(self.slot_lens[s])
+            self.spec_drafted += k
+            self.spec_accepted += int(m[s])
+            emitted = 0
+            for j in range(int(n_emit[s])):
+                req._emit(int(a[s, j]))
+                emitted += 1
+                if req.done:
+                    break
+            if req.done:
+                # cache holds a few garbage tokens past eos; the request
+                # retires and frees its pages, same as multi-step decode
+                self._retire(s)
+            else:
+                self.slot_lens[s] = lens_old + emitted
+                # draft KV exists for t and accepted g_0..g_{min(m,K-1)-1}
+                # (the decode scan appends only K-1 of the K candidates)
+                self.slot_dlens[s] = lens_old + 1 + min(int(m[s]), k - 1)
 
     def _prompt_page_hashes(self, prompt) -> List[str]:
         """Chained content hashes of the prompt's FULL pages."""
@@ -529,6 +700,134 @@ class ServingEngine:
             mesh=self.mesh, model_axis=self.model_axis)
         return logits, jnp.stack(kvs), k_scales
 
+    def _prefill_draft(self, tokens, true_len, bt_row, dk_pages,
+                       dk_scales, *, pad_len):
+        """jit'd: forward + fused scatter of the prompt KV into the DRAFT
+        pool (speculative decoding).  Logits are discarded — the first
+        generated token always comes from the target model."""
+        del pad_len  # shape is in tokens; kept for bucket-keyed jit
+        _, kv = self.draft_model.forward(
+            self.draft_params, tokens, self.draft_cfg,
+            rope_cos=self.draft_rope_cos, rope_sin=self.draft_rope_sin,
+            return_kv=True)
+        zero = jnp.zeros((1,), jnp.int32)
+        for li, (k, v) in enumerate(kv):
+            if self.quantized:
+                kvp, sc, _ = kv_cache_append_prefill_fused(
+                    dk_pages[li], k, v, bt_row[None], zero, true_len,
+                    kv_scales=dk_scales[li])
+                dk_scales = dk_scales.at[li].set(sc)
+            else:
+                kvp, _ = kv_cache_append_prefill_fused(
+                    dk_pages[li], k, v, bt_row[None], zero, true_len)
+            dk_pages = dk_pages.at[li].set(kvp)
+        return dk_pages, dk_scales
+
+    def _prefill_chunk_draft_step(self, tokens, q_offset, seq_len, bt_row,
+                                  dk_pages, dk_scales):
+        """jit'd: one chunked-prefill step through the DRAFT model."""
+        L = self.draft_cfg.n_layers
+        pools = [dk_pages[i] for i in range(L)]
+        if self.quantized:
+            _, kvs, _, scs = self.draft_model.prefill_step_fused(
+                self.draft_params, tokens, q_offset, seq_len, pools,
+                bt_row[None], self.draft_cfg, self.draft_rope_cos,
+                self.draft_rope_sin,
+                kv_scales=[dk_scales[i] for i in range(L)])
+            return jnp.stack(kvs), jnp.stack(scs)
+        _, kvs, _ = self.draft_model.prefill_step_fused(
+            self.draft_params, tokens, q_offset, seq_len, pools,
+            bt_row[None], self.draft_cfg, self.draft_rope_cos,
+            self.draft_rope_sin)
+        return jnp.stack(kvs), dk_scales
+
+    def _spec_step(self, catchup, catchup_len, dlens, lens, bt,
+                   k_pages, k_scales, dk_pages, dk_scales, active):
+        """jit'd: one speculative round for the whole batch.
+
+        catchup [B, K+1] holds the committed tokens at positions
+        dlens..lens; its last valid row is the pending token t (emitted
+        but not yet in any KV pool).  The draft appends them all in one
+        chunked prefill — catching its pool up through t — and its
+        last-row logits propose g0; K-1 greedy draft decode steps extend
+        the proposal to g0..g{K-1}.  The target then verifies the chunk
+        [t, g0..g{K-1}] in ONE chunked prefill with per-position logits
+        (all_logits=True): a_i = argmax(logits_i) is what plain greedy
+        decode would emit after i accepted tokens, so the round commits
+        a_0..a_m where m = longest prefix with a_i == g_i (m accepted
+        drafts + the target's own next token; n_emit = m+1 in 1..K+1).
+        Token-identical to plain greedy decode by construction.
+
+        Returns (a [B, K+1], n_emit [B], m [B], pools/scales...)."""
+        K = self.spec_tokens
+        ld = self.draft_cfg.n_layers
+        dpools = [dk_pages[i] for i in range(ld)]
+        if self.quantized:
+            dlogits, dkvs, _, dscs = self.draft_model.prefill_step_fused(
+                self.draft_params, catchup, dlens, catchup_len, dpools,
+                bt, self.draft_cfg, self.draft_rope_cos,
+                self.draft_rope_sin,
+                kv_scales=[dk_scales[i] for i in range(ld)])
+            dk_pages, dk_scales = jnp.stack(dkvs), jnp.stack(dscs)
+        else:
+            dlogits, dkvs, _ = self.draft_model.prefill_step_fused(
+                self.draft_params, catchup, dlens, catchup_len, dpools,
+                bt, self.draft_cfg, self.draft_rope_cos,
+                self.draft_rope_sin)
+            dk_pages = jnp.stack(dkvs)
+        g0 = jnp.argmax(dlogits, -1).astype(jnp.int32)
+
+        def body(carry, i):
+            tok, dkp, dsc = carry
+            pos = lens + 1 + i  # draft pool holds through t at `lens`
+            pools_i = [dkp[j] for j in range(ld)]
+            if self.quantized:
+                lg, kvs, _, scs = self.draft_model.decode_step_fused(
+                    self.draft_params, tok, pos, pools_i, bt, pos,
+                    self.draft_cfg, self.draft_rope_cos,
+                    self.draft_rope_sin,
+                    kv_scales=[dsc[j] for j in range(ld)])
+                dsc = jnp.stack(scs)
+            else:
+                lg, kvs, _ = self.draft_model.decode_step_fused(
+                    self.draft_params, tok, pos, pools_i, bt, pos,
+                    self.draft_cfg, self.draft_rope_cos,
+                    self.draft_rope_sin)
+            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+            return (nxt, jnp.stack(kvs), dsc), nxt
+
+        if K > 1:
+            (_, dk_pages, dk_scales), g_rest = jax.lax.scan(
+                body, (g0, dk_pages, dk_scales),
+                jnp.arange(K - 1, dtype=jnp.int32))
+            g = jnp.concatenate([g0[:, None], g_rest.T], axis=1)  # [B, K]
+        else:
+            g = g0[:, None]
+
+        # target verify: one chunked prefill over [t, g0..g{K-1}]
+        t = jnp.take_along_axis(
+            catchup, jnp.maximum(catchup_len - 1, 0)[:, None], axis=1)
+        chunk = jnp.concatenate([t, g], axis=1)  # [B, K+1]
+        vlen = jnp.where(active, K + 1, 0).astype(jnp.int32)
+        lt = self.cfg.n_layers
+        pools = [k_pages[i] for i in range(lt)]
+        if self.quantized:
+            logits, kvs, _, scs = self.model.prefill_step_fused(
+                self.params, chunk, lens, vlen, pools, bt, self.cfg,
+                self.rope_cos, self.rope_sin,
+                kv_scales=[k_scales[i] for i in range(lt)],
+                all_logits=True)
+            k_pages, k_scales = jnp.stack(kvs), jnp.stack(scs)
+        else:
+            logits, kvs, _ = self.model.prefill_step_fused(
+                self.params, chunk, lens, vlen, pools, bt, self.cfg,
+                self.rope_cos, self.rope_sin, all_logits=True)
+            k_pages = jnp.stack(kvs)
+        a = jnp.argmax(logits, -1).astype(jnp.int32)    # [B, K+1]
+        match = (a[:, :K] == g).astype(jnp.int32)
+        m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+        return a, m + 1, m, k_pages, k_scales, dk_pages, dk_scales
+
     def _run_prefill_chunked(self, slot: int, req: Request,
                              hit_len: int = 0) -> None:
         n = len(req.prompt)
@@ -550,6 +849,17 @@ class ServingEngine:
                 jnp.asarray([len(chunk)], jnp.int32), bt,
                 self.k_pages, self.k_scales)
         self.slot_lens[slot] = n
+        if self.spec_tokens > 0:
+            for off in range(0, n, c):
+                chunk = req.prompt[off:off + c]
+                dtok = np.zeros((1, c), np.int32)
+                dtok[0, :len(chunk)] = chunk
+                self.dk_pages, self.dk_scales = \
+                    self._prefill_chunk_draft_jit(
+                        jnp.asarray(dtok), jnp.asarray([off], jnp.int32),
+                        jnp.asarray([len(chunk)], jnp.int32), bt,
+                        self.dk_pages, self.dk_scales)
+            self.slot_dlens[slot] = n
         req._emit(int(self._host_sample(
             logits[0], req.temperature, req.top_k, req.top_p)))
         if self.enable_prefix_cache:
@@ -590,6 +900,14 @@ class ServingEngine:
         # note: padded tail tokens scatter garbage beyond n, but
         # context_len = n hides them from decode
         self.slot_lens[slot] = n
+        if self.spec_tokens > 0:
+            # the draft pool must hold the prompt KV too (its decode
+            # steps attend to the whole committed prefix)
+            self.dk_pages, self.dk_scales = self._prefill_draft_jit(
+                jnp.asarray(tokens), jnp.asarray([n], jnp.int32),
+                jnp.asarray(bt), self.dk_pages, self.dk_scales,
+                pad_len=pad_len)
+            self.slot_dlens[slot] = n
         req._emit(int(self._host_sample(logits[0, n - 1], req.temperature,
                                         req.top_k, req.top_p)))
 
@@ -757,6 +1075,7 @@ class ServingEngine:
         self.slots[slot] = None
         self.slot_pages[slot] = []
         self.slot_lens[slot] = 0
+        self.slot_dlens[slot] = 0
 
 
 # -- checkpoint / resume ----------------------------------------------------
@@ -774,6 +1093,7 @@ def save_engine_state(eng: "ServingEngine", path: str) -> None:
     device_state = {
         "k_pages": eng.k_pages, "v_pages": eng.v_pages,
         "k_scales": eng.k_scales, "v_scales": eng.v_scales,
+        "dk_pages": eng.dk_pages, "dk_scales": eng.dk_scales,
     }
     save_pytree(path + ".pools", device_state)
 
@@ -802,6 +1122,11 @@ def save_engine_state(eng: "ServingEngine", path: str) -> None:
         # order as the uninterrupted run, or the contiguous-run DMA
         # coalescing behavior diverges after resume (ADVICE r1)
         "free_pages": list(eng.allocator.free_list()),
+        # speculative decoding: the draft pool's per-slot high-water
+        # marks and the acceptance counters
+        "slot_dlens": eng.slot_dlens.tolist(),
+        "spec_drafted": eng.spec_drafted,
+        "spec_accepted": eng.spec_accepted,
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path + ".state.json", "w") as f:
@@ -818,6 +1143,7 @@ def load_engine_state(eng: "ServingEngine", path: str) -> None:
     template = {
         "k_pages": eng.k_pages, "v_pages": eng.v_pages,
         "k_scales": eng.k_scales, "v_scales": eng.v_scales,
+        "dk_pages": eng.dk_pages, "dk_scales": eng.dk_scales,
     }
     state = load_pytree(path + ".pools", template)
     eng.k_pages = jnp.asarray(state["k_pages"])
@@ -827,6 +1153,10 @@ def load_engine_state(eng: "ServingEngine", path: str) -> None:
         eng.k_scales = jnp.asarray(state["k_scales"])
     if state["v_scales"] is not None:
         eng.v_scales = jnp.asarray(state["v_scales"])
+    if state.get("dk_pages") is not None:
+        eng.dk_pages = jnp.asarray(state["dk_pages"])
+    if state.get("dk_scales") is not None:
+        eng.dk_scales = jnp.asarray(state["dk_scales"])
 
     with open(path + ".state.json") as f:
         host = json.load(f)
@@ -856,3 +1186,7 @@ def load_engine_state(eng: "ServingEngine", path: str) -> None:
         eng._page_rc = {int(k): v for k, v in host["page_rc"].items()}
         eng.prefix_cache_hit_tokens = host.get("prefix_hit_tokens", 0)
     eng.allocator.set_free_list(host["free_pages"])
+    if "slot_dlens" in host:
+        eng.slot_dlens = np.asarray(host["slot_dlens"], np.int32)
+        eng.spec_drafted = host.get("spec_drafted", 0)
+        eng.spec_accepted = host.get("spec_accepted", 0)

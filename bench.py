@@ -132,8 +132,32 @@ def bench_fwd_bwd(batch=4, hq=32, hkv=8, s=2048, d=128, n_iters=5):
     return flops / dt / 1e12, dt
 
 
+def _probe_devices(timeout_s=600):
+    """jax.devices() can block FOREVER when the remote-attached TPU's
+    tunnel is down; probe it on a daemon thread so bench.py fails loudly
+    within a bounded time instead of hanging the driver."""
+    import threading
+
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # pragma: no cover - init failure path
+            out["error"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in out:
+        return out["devices"]
+    log(f"FATAL: jax.devices() did not return within {timeout_s}s "
+        f"({out.get('error', 'device tunnel down?')})")
+    os._exit(1)  # the probe thread is wedged in native code
+
+
 def main():
-    dev = jax.devices()[0]
+    dev = _probe_devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
     on_tpu = dev.platform == "tpu"
     if not on_tpu:

@@ -42,4 +42,7 @@ run decode_xb_off 1800 env AULE_DECODE_XBATCH=0 python scripts/probe_shortctx_de
 # 6. Full grid for BENCH_GRID.md refresh.
 run grid 3600 python benchmarks/run_grid.py --iters 20
 
+# 7. Speculative decoding end-to-end (engine tok/s envelope + exactness).
+run spec_decode 1800 python scripts/probe_spec_decode.py
+
 echo "=== campaign done ($(date +%T)); logs in $OUT ==="

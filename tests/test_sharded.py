@@ -288,3 +288,61 @@ def test_ring_attention_grads_match_oracle(causal):
     assert_close(dq, rq, *GRAD_TOL, f"ring dq causal={causal}")
     assert_close(dk, rk, *GRAD_TOL, f"ring dk causal={causal}")
     assert_close(dv, rv, *GRAD_TOL, f"ring dv causal={causal}")
+
+
+# ---------------------------------------------------------------------------
+# Ulysses sequence parallelism (all-to-all head<->sequence re-sharding)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_ulysses_matches_oracle(causal):
+    from aule_tpu.parallel.sharded import make_ulysses_attention
+
+    mesh = make_mesh((8,), ("ctx",))
+    q, k, v = random_qkv(2, 8, 512, 64)
+    fn = make_ulysses_attention(mesh, causal=causal)
+    got = fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = attention_reference_numpy(q, k, v, causal=causal)
+    assert_close(got, want, *TOL, f"ulysses causal={causal}")
+
+
+def test_ulysses_gqa_and_window():
+    """GQA group mapping survives the all-to-all (local head j -> j//g
+    stays aligned because Hkv % n == 0), and sliding windows need no
+    chunk decomposition — each chip sees the full sequence."""
+    from aule_tpu.parallel.sharded import make_ulysses_attention
+
+    mesh = make_mesh((2, 4), ("data", "ctx"))
+    q, k, v = random_qkv(1, 8, 256, 64, heads_kv=4)
+    fn = make_ulysses_attention(mesh, causal=True, window_size=64,
+                                seq_axis="ctx")
+    got = fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = attention_reference_numpy(q, k, v, causal=True, window_size=64)
+    assert_close(got, want, *TOL, "ulysses gqa+window")
+
+
+def test_ulysses_grads_match_oracle():
+    from aule_tpu.ops.reference import attention_reference
+    from aule_tpu.parallel.sharded import make_ulysses_attention
+
+    mesh = make_mesh((8,), ("ctx",))
+    q, k, v = random_qkv(1, 8, 512, 64)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    fn = make_ulysses_attention(mesh, causal=True)
+    dq, dk, dv = _grads(fn, q, k, v)
+    rq, rk, rv = _grads(
+        lambda q, k, v: attention_reference(q, k, v, causal=True),
+        q, k, v)
+    assert_close(dq, rq, *GRAD_TOL, "ulysses dq")
+    assert_close(dk, rk, *GRAD_TOL, "ulysses dk")
+    assert_close(dv, rv, *GRAD_TOL, "ulysses dv")
+
+
+def test_ulysses_rejects_indivisible_heads():
+    from aule_tpu.parallel.sharded import make_ulysses_attention
+
+    mesh = make_mesh((8,), ("ctx",))
+    q, k, v = random_qkv(1, 4, 512, 64)  # 4 heads < 8 devices
+    fn = make_ulysses_attention(mesh)
+    with pytest.raises(ValueError, match="divisible"):
+        fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))

@@ -1,0 +1,192 @@
+"""Speculative decoding tests.
+
+Net-new vs the reference (a single-device kernel library with no serving
+loop at all — SURVEY.md §2.4); the correctness bar is absolute: greedy
+speculative decoding must be TOKEN-IDENTICAL to plain greedy decode for
+any draft model, because every emitted token is an argmax of the target
+model's own logits (accepted drafts merely let one target dispatch
+commit several of them).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from aule_tpu.models import llama
+from aule_tpu.serving.engine import (
+    ServingEngine,
+    load_engine_state,
+    save_engine_state,
+)
+
+CFG = llama.LlamaConfig.tiny()
+# a genuinely different (smaller + differently-initialized) draft
+DRAFT_CFG = llama.LlamaConfig.tiny(dim=64, n_layers=1, n_heads=2,
+                                   hidden_dim=128)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_params(CFG, jax.random.key(0))
+
+
+@pytest.fixture(scope="module")
+def draft_params():
+    return llama.init_params(DRAFT_CFG, jax.random.key(7))
+
+
+def _run(params, prompts, max_new, **kw):
+    eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256, **kw)
+    ids = [eng.submit(p, max_new_tokens=max_new) for p in prompts]
+    done = {r.req_id: r for r in eng.run()}
+    return [done[i].output for i in ids], eng
+
+
+@pytest.mark.parametrize("spec_tokens", [1, 2, 4])
+def test_spec_matches_plain_greedy(params, draft_params, spec_tokens):
+    """A random (mostly-rejected) draft must not change a single token."""
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, 256, size=n).astype(np.int32)
+               for n in (7, 11)]
+    plain, _ = _run(params, prompts, 8)
+    spec, eng = _run(params, prompts, 8,
+                     draft_params=draft_params, draft_cfg=DRAFT_CFG,
+                     spec_tokens=spec_tokens)
+    assert spec == plain
+    assert eng.spec_drafted > 0
+    assert 0 <= eng.spec_accepted <= eng.spec_drafted
+
+
+def test_spec_perfect_draft_accepts_everything(params):
+    """Draft == target: every candidate verifies, so each round commits
+    K+1 tokens and the acceptance counter saturates."""
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, 256, size=6).astype(np.int32)]
+    plain, _ = _run(params, prompts, 9)
+    spec, eng = _run(params, prompts, 9,
+                     draft_params=params, draft_cfg=CFG, spec_tokens=2)
+    assert spec == plain
+    assert eng.spec_accepted == eng.spec_drafted
+
+
+def test_spec_with_chunked_prefill(params, draft_params):
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, 256, size=19).astype(np.int32)]
+    plain, _ = _run(params, prompts, 6)
+    spec, _ = _run(params, prompts, 6, prefill_chunk=8,
+                   draft_params=draft_params, draft_cfg=DRAFT_CFG,
+                   spec_tokens=3)
+    assert spec == plain
+
+
+def test_spec_quantized(params, draft_params):
+    """int8 pools: both paths quantize per-token rows, so spec decode
+    stays token-identical to plain quantized decode."""
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, 256, size=9).astype(np.int32)]
+    plain, _ = _run(params, prompts, 7, quantized=True)
+    spec, _ = _run(params, prompts, 7, quantized=True,
+                   draft_params=draft_params, draft_cfg=DRAFT_CFG,
+                   spec_tokens=2)
+    assert spec == plain
+
+
+def test_spec_eos_mid_round(params, draft_params):
+    """eos landing inside a speculative round truncates exactly where
+    plain decode would stop (overshoot trimmed host-side)."""
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, 256, size=5).astype(np.int32)
+    plain, _ = _run(params, [prompt], 8)
+    eos = plain[0][3]  # stop mid-stream
+    want = plain[0][:4]
+    got, _ = _run(params, [prompt], 8, draft_params=draft_params,
+                  draft_cfg=DRAFT_CFG, spec_tokens=4)
+    assert got[0] == plain[0]  # sanity: same stream without eos
+
+    def run_eos(**kw):
+        eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256, **kw)
+        eng.submit(prompt, max_new_tokens=8, eos_id=eos)
+        return eng.run()[0].output
+
+    assert run_eos() == want
+    assert run_eos(draft_params=draft_params, draft_cfg=DRAFT_CFG,
+                   spec_tokens=4) == want
+
+
+def test_spec_mixed_batch_falls_back_then_recovers(params, draft_params):
+    """A temperature-sampled request in the batch disables spec rounds
+    (plain decode, draft pool lags); once it retires, spec resumes via
+    the lag-recovery catchup and the greedy request's tokens still match
+    its solo plain-greedy run."""
+    rng = np.random.default_rng(5)
+    greedy_prompt = rng.integers(0, 256, size=6).astype(np.int32)
+    hot_prompt = rng.integers(0, 256, size=4).astype(np.int32)
+    plain, _ = _run(params, [greedy_prompt], 14)
+
+    eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256, draft_params=draft_params,
+                        draft_cfg=DRAFT_CFG, spec_tokens=2)
+    gid = eng.submit(greedy_prompt, max_new_tokens=14)
+    eng.submit(hot_prompt, max_new_tokens=4, temperature=0.8)
+    done = {r.req_id: r for r in eng.run()}
+    assert done[gid].output == plain[0]
+    assert eng.spec_drafted > 0  # spec resumed after the hot one retired
+
+
+def test_spec_checkpoint_roundtrip(params, draft_params, tmp_path):
+    """Preempt mid-generation, restore into a fresh engine, finish:
+    byte-identical to the uninterrupted run (draft pool + dlens travel
+    with the checkpoint)."""
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, 256, size=8).astype(np.int32)
+    kw = dict(max_batch=2, page_size=16, num_pages=64,
+              max_pages_per_seq=8, max_seq_len=256,
+              draft_params=draft_params, draft_cfg=DRAFT_CFG,
+              spec_tokens=2)
+    full = ServingEngine(params, CFG, **kw)
+    full.submit(prompt, max_new_tokens=10)
+    want = full.run()[0].output
+
+    eng = ServingEngine(params, CFG, **kw)
+    eng.submit(prompt, max_new_tokens=10)
+    eng.step()  # prefill + first token
+    eng.step()  # one spec round
+    path = str(tmp_path / "ckpt")
+    save_engine_state(eng, path)
+
+    res = ServingEngine(params, CFG, **kw)
+    load_engine_state(res, path)
+    assert np.array_equal(res.slot_dlens, eng.slot_dlens)
+    while res.has_work():
+        res.step()
+    assert res.finished[0].output == want
+
+
+def test_spec_validation_errors(params, draft_params):
+    kw = dict(max_batch=1, page_size=16, num_pages=64,
+              max_pages_per_seq=8, max_seq_len=256)
+    with pytest.raises(ValueError, match="draft_params"):
+        ServingEngine(params, CFG, spec_tokens=2, **kw)
+    with pytest.raises(ValueError, match="fused"):
+        ServingEngine(params, CFG, spec_tokens=2, layout="split",
+                      draft_params=draft_params, draft_cfg=DRAFT_CFG, **kw)
+    with pytest.raises(ValueError, match="prefix"):
+        ServingEngine(params, CFG, spec_tokens=2, prefill_chunk=8,
+                      enable_prefix_cache=True,
+                      draft_params=draft_params, draft_cfg=DRAFT_CFG, **kw)
+    with pytest.raises(ValueError, match="greedy"):
+        ServingEngine(params, CFG, spec_tokens=2,
+                      sample=lambda lg: lg.argmax(-1),
+                      draft_params=draft_params, draft_cfg=DRAFT_CFG, **kw)
+    bad_cfg = llama.LlamaConfig.tiny(vocab_size=CFG.vocab_size + 1,
+                                     dim=64, n_layers=1, n_heads=2,
+                                     hidden_dim=128)
+    with pytest.raises(ValueError, match="vocab"):
+        ServingEngine(params, CFG, spec_tokens=2,
+                      draft_params=draft_params, draft_cfg=bad_cfg, **kw)
