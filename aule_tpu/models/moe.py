@@ -417,9 +417,11 @@ def prefill_step_fused(
     mesh=None,
     model_axis: str = "model",
     moe_mlp=None,
+    all_logits: bool = False,
 ):
     """Chunked prefill over fused pools with the routed-MoE MLP
-    (mirrors llama.prefill_step_fused)."""
+    (mirrors llama.prefill_step_fused, incl. all_logits=True returning
+    per-position logits [B, S, V] for speculative-decode verification)."""
     from ..ops.paged_fused import (
         kv_cache_append_prefill_fused,
         paged_attention_prefill,
@@ -482,10 +484,14 @@ def prefill_step_fused(
         h = llama.rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
         x = x + mlp(layer, h, cfg)
 
-    last = jnp.take_along_axis(
-        x, jnp.maximum(seq_lens - 1, 0)[:, None, None], axis=1)[:, 0]
-    last = llama.rms_norm(last, params["final_norm"], cfg.norm_eps)
-    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    if all_logits:
+        xn = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
+        logits = (xn @ params["lm_head"]).astype(jnp.float32)  # [B, S, V]
+    else:
+        last = jnp.take_along_axis(
+            x, jnp.maximum(seq_lens - 1, 0)[:, None, None], axis=1)[:, 0]
+        last = llama.rms_norm(last, params["final_norm"], cfg.norm_eps)
+        logits = (last @ params["lm_head"]).astype(jnp.float32)
     if quantized:
         return logits, new_kv, lens_out, new_sc
     return logits, new_kv, lens_out

@@ -190,3 +190,69 @@ def test_spec_validation_errors(params, draft_params):
     with pytest.raises(ValueError, match="vocab"):
         ServingEngine(params, CFG, spec_tokens=2,
                       draft_params=draft_params, draft_cfg=bad_cfg, **kw)
+
+
+# ---------------------------------------------------------------------------
+# cross-family: window (Mistral), GPT-2, MoE targets; mixed-family draft
+# ---------------------------------------------------------------------------
+
+def test_spec_sliding_window_model(draft_params):
+    """Mistral-style windowed target: the verify prefill's window mask
+    and plain decode's trailing-window kernel must agree token-for-token
+    once the context exceeds the window."""
+    cfg = llama.LlamaConfig.tiny(window_size=24)
+    params = llama.init_params(cfg, jax.random.key(2))
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(0, 256, size=20).astype(np.int32)
+
+    def run(**kw):
+        eng = ServingEngine(params, cfg, max_batch=1, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256, **kw)
+        eng.submit(prompt, max_new_tokens=16)  # well past the window
+        return eng.run()[0].output
+
+    assert run(draft_params=draft_params, draft_cfg=DRAFT_CFG,
+               spec_tokens=3) == run()
+
+
+def test_spec_gpt2_family():
+    from aule_tpu.models import gpt2
+
+    cfg = gpt2.GPT2Config.tiny()
+    dcfg = gpt2.GPT2Config.tiny(n_layers=1)
+    params = gpt2.init_params(cfg, jax.random.key(3))
+    dparams = gpt2.init_params(dcfg, jax.random.key(4))
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(0, cfg.vocab_size, size=7).astype(np.int32)
+
+    def run(**kw):
+        eng = ServingEngine(params, cfg, max_batch=1, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256, model=gpt2, **kw)
+        eng.submit(prompt, max_new_tokens=8)
+        return eng.run()[0].output
+
+    assert run(draft_params=dparams, draft_cfg=dcfg,
+               spec_tokens=2) == run()
+
+
+def test_spec_moe_target_llama_draft(draft_params):
+    """Routed-MoE target verified against a dense Llama draft — the
+    draft_model= knob crosses model families (shared tokenizer)."""
+    from aule_tpu.models import moe
+
+    cfg = moe.MoEConfig.tiny()
+    params = moe.init_params(cfg, jax.random.key(5))
+    rng = np.random.default_rng(10)
+    prompt = rng.integers(0, cfg.vocab_size, size=6).astype(np.int32)
+
+    def run(**kw):
+        eng = ServingEngine(params, cfg, max_batch=1, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256, model=moe, **kw)
+        eng.submit(prompt, max_new_tokens=6)
+        return eng.run()[0].output
+
+    assert run(draft_params=draft_params, draft_cfg=DRAFT_CFG,
+               draft_model=llama, spec_tokens=2) == run()
