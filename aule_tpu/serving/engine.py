@@ -39,6 +39,13 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
+def _chosen_logprob(logits, toks):
+    """log softmax(logits) at the chosen token, [B] f32."""
+    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(
+        lsm, toks[:, None].astype(jnp.int32), axis=-1)[:, 0]
+
+
 def _restrict_rows(scaled, tks, tps):
     """Apply per-row top-k / top-p restrictions to already
     temperature-scaled logits [B, V].  tks int32 [B] (0 = off) keeps the
@@ -82,9 +89,24 @@ class Request:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 0.0
+    # set by ServingEngine.cancel(): the request retired early with a
+    # partial output (client disconnect / abort)
+    cancelled: bool = False
+    # submit(logprobs=True): logprobs[i] is log softmax(raw logits) at
+    # output[i] — the model's own log-probability of the emitted token,
+    # BEFORE temperature/top-k/top-p reshaping (well-defined and
+    # comparable across greedy, sampled, and speculative requests)
+    want_logprobs: bool = False
+    logprobs: List[float] = dataclasses.field(default_factory=list)
+    # multi-token stop sequences (token ids): generation ends when the
+    # output's tail equals any of them (the stop tokens stay in the
+    # output, like eos); eos_id is the one-token special case
+    stop: List[List[int]] = dataclasses.field(default_factory=list)
 
-    def _emit(self, tok: int) -> None:
+    def _emit(self, tok: int, logp: Optional[float] = None) -> None:
         self.output.append(tok)
+        if self.want_logprobs and logp is not None:
+            self.logprobs.append(float(logp))
         if self.on_token is not None:
             self.on_token(self.req_id, tok)
 
@@ -92,8 +114,11 @@ class Request:
     def done(self) -> bool:
         if len(self.output) >= self.max_new_tokens:
             return True
-        return bool(self.output and self.eos_id is not None
-                    and self.output[-1] == self.eos_id)
+        if (self.output and self.eos_id is not None
+                and self.output[-1] == self.eos_id):
+            return True
+        return any(len(s) <= len(self.output)
+                   and self.output[-len(s):] == s for s in self.stop)
 
 
 class ServingEngine:
@@ -390,8 +415,12 @@ class ServingEngine:
                eos_id: Optional[int] = None,
                on_token: Optional[Callable[[int, int], None]] = None,
                temperature: float = 0.0, top_k: int = 0,
-               top_p: float = 0.0) -> int:
+               top_p: float = 0.0, logprobs: bool = False,
+               stop=None) -> int:
         prompt = np.asarray(prompt, np.int32)
+        stop = [[int(t) for t in s] for s in (stop or [])]
+        if any(not s for s in stop):
+            raise ValueError("stop sequences must be non-empty")
         if prompt.size == 0:
             raise ValueError("empty prompt: nothing to prefill")
         # Admission is all-or-nothing: a request whose worst-case length
@@ -421,10 +450,30 @@ class ServingEngine:
             raise ValueError("top_k must be >= 0 (0 disables)")
         req = Request(self._next_id, prompt, max_new_tokens, eos_id,
                       on_token=on_token, temperature=float(temperature),
-                      top_k=int(top_k), top_p=float(top_p))
+                      top_k=int(top_k), top_p=float(top_p),
+                      want_logprobs=bool(logprobs), stop=stop)
         self._next_id += 1
         self.waiting.append(req)
         return req.req_id
+
+    def cancel(self, req_id: int) -> bool:
+        """Abort a request (client disconnect): a waiting request leaves
+        the queue; a running one retires immediately, freeing its pages
+        for the next admission.  Either way it lands in `finished` with
+        `cancelled=True` and whatever output it produced so far.
+        Returns False when the id is unknown or already finished."""
+        for i, r in enumerate(self.waiting):
+            if r.req_id == req_id:
+                self.waiting.pop(i)
+                r.cancelled = True
+                self.finished.append(r)
+                return True
+        for s, r in enumerate(self.slots):
+            if r is not None and r.req_id == req_id:
+                r.cancelled = True
+                self._retire(s)
+                return True
+        return False
 
     @property
     def num_running(self) -> int:
@@ -508,13 +557,14 @@ class ServingEngine:
             catchup[s, :hi - lo] = seqs[s][lo:hi]
             clen[s] = hi - lo
         active = np.array([r is not None for r in self.slots])
-        (a, n_emit, m, self.k_pages, self.k_scales, self.dk_pages,
+        (a, lp, n_emit, m, self.k_pages, self.k_scales, self.dk_pages,
          self.dk_scales) = self._spec_jit(
             jnp.asarray(catchup), jnp.asarray(clen),
             jnp.asarray(self.slot_dlens), jnp.asarray(self.slot_lens),
             self._block_table(), self.k_pages, self.k_scales,
             self.dk_pages, self.dk_scales, jnp.asarray(active))
         a, n_emit, m = np.asarray(a), np.asarray(n_emit), np.asarray(m)
+        lp = np.asarray(lp)
         for s, req in enumerate(self.slots):
             if req is None:
                 continue
@@ -523,10 +573,14 @@ class ServingEngine:
             self.spec_accepted += int(m[s])
             emitted = 0
             for j in range(int(n_emit[s])):
-                req._emit(int(a[s, j]))
+                req._emit(int(a[s, j]), lp[s, j])
                 emitted += 1
+                if self.slots[s] is not req:
+                    break
                 if req.done:
                     break
+            if self.slots[s] is not req:
+                continue  # cancel() from the on_token callback retired it
             if req.done:
                 # cache holds a few garbage tokens past eos; the request
                 # retires and frees its pages, same as multi-step decode
@@ -824,9 +878,11 @@ class ServingEngine:
                 self.rope_cos, self.rope_sin, all_logits=True)
             k_pages = jnp.stack(kvs)
         a = jnp.argmax(logits, -1).astype(jnp.int32)    # [B, K+1]
+        lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        lp = jnp.take_along_axis(lsm, a[..., None], axis=-1)[..., 0]
         match = (a[:, :K] == g).astype(jnp.int32)
         m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
-        return a, m + 1, m, k_pages, k_scales, dk_pages, dk_scales
+        return a, lp, m + 1, m, k_pages, k_scales, dk_pages, dk_scales
 
     def _run_prefill_chunked(self, slot: int, req: Request,
                              hit_len: int = 0) -> None:
@@ -860,8 +916,9 @@ class ServingEngine:
                         jnp.asarray([len(chunk)], jnp.int32), bt,
                         self.dk_pages, self.dk_scales)
             self.slot_dlens[slot] = n
-        req._emit(int(self._host_sample(
-            logits[0], req.temperature, req.top_k, req.top_p)))
+        tok, logp = self._host_sample(
+            logits[0], req.temperature, req.top_k, req.top_p)
+        req._emit(int(tok), logp)
         if self.enable_prefix_cache:
             self._register_prompt_pages(slot, req)
 
@@ -908,8 +965,9 @@ class ServingEngine:
                 jnp.asarray(bt), self.dk_pages, self.dk_scales,
                 pad_len=pad_len)
             self.slot_dlens[slot] = n
-        req._emit(int(self._host_sample(logits[0, n - 1], req.temperature,
-                                        req.top_k, req.top_p)))
+        tok, logp = self._host_sample(logits[0, n - 1], req.temperature,
+                                      req.top_k, req.top_p)
+        req._emit(int(tok), logp)
 
     def _sample_dev(self, logits, key, temps=None, tks=None, tps=None):
         """In-jit sampling: engine-level PRNG sampler when configured;
@@ -936,11 +994,12 @@ class ServingEngine:
 
     def _host_sample(self, logits, temperature: float = 0.0,
                      top_k: int = 0, top_p: float = 0.0):
-        """Host-side sampling (prefill's first token)."""
+        """Host-side sampling (prefill's first token).  Returns
+        (token, raw-distribution logprob of that token)."""
         if self._sampler is not None:
             self._rng, sub = jax.random.split(self._rng)
-            return self._sampler(logits, sub)
-        if temperature > 0.0 and not self._legacy_sample:
+            tok = self._sampler(logits, sub)
+        elif temperature > 0.0 and not self._legacy_sample:
             self._rng, sub = jax.random.split(self._rng)
             scaled = logits.astype(jnp.float32)[None] / temperature
             if top_k or top_p:
@@ -948,8 +1007,12 @@ class ServingEngine:
                     scaled,
                     jnp.asarray([top_k], jnp.int32) if top_k else None,
                     jnp.asarray([top_p], jnp.float32) if top_p else None)
-            return jax.random.categorical(sub, scaled[0], axis=-1)
-        return self.sample(logits)
+            tok = jax.random.categorical(sub, scaled[0], axis=-1)
+        else:
+            tok = self.sample(logits)
+        logp = _chosen_logprob(jnp.asarray(logits)[None],
+                               jnp.asarray(tok).reshape(1))[0]
+        return tok, logp
 
     def _decode_step(self, tokens, positions, bt, lens, k_pages, v_pages,
                      k_scales, v_scales, key, temps, tks=None, tps=None):
@@ -962,14 +1025,16 @@ class ServingEngine:
                     self.cfg, self.rope_cos, self.rope_sin,
                     kv_scales=[k_scales[i] for i in range(L)],
                     mesh=self.mesh, model_axis=self.model_axis)
-                return (self._sample_dev(logits, key, temps, tks, tps), jnp.stack(kvs), v_pages,
-                        new_lens, jnp.stack(scs), v_scales)
+                nxt = self._sample_dev(logits, key, temps, tks, tps)
+                return (nxt, _chosen_logprob(logits, nxt), jnp.stack(kvs),
+                        v_pages, new_lens, jnp.stack(scs), v_scales)
             logits, kvs, new_lens = self.model.decode_step_fused(
                 self.params, tokens, positions, pools, bt, lens,
                 self.cfg, self.rope_cos, self.rope_sin,
                 mesh=self.mesh, model_axis=self.model_axis)
-            return (self._sample_dev(logits, key, temps, tks, tps), jnp.stack(kvs), v_pages,
-                    new_lens, k_scales, v_scales)
+            nxt = self._sample_dev(logits, key, temps, tks, tps)
+            return (nxt, _chosen_logprob(logits, nxt), jnp.stack(kvs),
+                    v_pages, new_lens, k_scales, v_scales)
         if self.quantized:
             logits, kps, vps, new_lens, kss, vss = self.model.decode_step(
                 self.params, tokens, positions,
@@ -980,7 +1045,8 @@ class ServingEngine:
                 v_scales=[v_scales[i] for i in range(L)],
                 mesh=self.mesh, model_axis=self.model_axis)
             next_tokens = self._sample_dev(logits, key, temps, tks, tps)
-            return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
+            return (next_tokens, _chosen_logprob(logits, next_tokens),
+                    jnp.stack(kps), jnp.stack(vps), new_lens,
                     jnp.stack(kss), jnp.stack(vss))
         logits, kps, vps, new_lens = self.model.decode_step(
             self.params, tokens, positions,
@@ -989,7 +1055,8 @@ class ServingEngine:
             bt, lens, self.cfg, self.rope_cos, self.rope_sin,
             mesh=self.mesh, model_axis=self.model_axis)
         next_tokens = self._sample_dev(logits, key, temps, tks, tps)
-        return (next_tokens, jnp.stack(kps), jnp.stack(vps), new_lens,
+        return (next_tokens, _chosen_logprob(logits, next_tokens),
+                jnp.stack(kps), jnp.stack(vps), new_lens,
                 k_scales, v_scales)
 
     def _decode_multi(self, tokens, positions, bt, lens, k_pages, v_pages,
@@ -998,16 +1065,16 @@ class ServingEngine:
         """jit'd: n_steps decode steps in one dispatch (lax.scan)."""
         def body(carry, t):
             tok, pos, ln, kp, vp, ks, vs = carry
-            nxt, kp, vp, new_ln, ks, vs = self._decode_step(
+            nxt, logp, kp, vp, new_ln, ks, vs = self._decode_step(
                 tok, pos, bt, ln, kp, vp, ks, vs,
                 jax.random.fold_in(key, t), temps, tks, tps)
-            return (nxt, pos + 1, new_ln, kp, vp, ks, vs), nxt
+            return (nxt, pos + 1, new_ln, kp, vp, ks, vs), (nxt, logp)
 
         init = (tokens, positions, lens, k_pages, v_pages,
                 k_scales, v_scales)
-        (tok, pos, ln, kp, vp, ks, vs), toks = jax.lax.scan(
+        (tok, pos, ln, kp, vp, ks, vs), (toks, logps) = jax.lax.scan(
             body, init, jnp.arange(n_steps, dtype=jnp.int32))
-        return toks, kp, vp, ln, ks, vs
+        return toks, logps, kp, vp, ln, ks, vs
 
     def _decode_all(self) -> None:
         tokens = np.zeros((self.max_batch,), np.int32)
@@ -1036,26 +1103,30 @@ class ServingEngine:
         multi = (k > 1 and not self.waiting and remaining
                  and min(remaining) >= k)
         if multi:
-            (toks, self.k_pages, self.v_pages, new_lens,
+            (toks, logps, self.k_pages, self.v_pages, new_lens,
              self.k_scales, self.v_scales) = self._decode_multi_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
                 step_key, temps, tks, tps, n_steps=k)
             next_np = np.asarray(toks)  # [k, max_batch]
+            logp_np = np.asarray(logps)
         else:
-            (next_tokens, self.k_pages, self.v_pages, new_lens,
+            (next_tokens, logps, self.k_pages, self.v_pages, new_lens,
              self.k_scales, self.v_scales) = self._decode_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
                 step_key, temps, tks, tps)
             next_np = np.asarray(next_tokens)[None]
+            logp_np = np.asarray(logps)[None]
         self.slot_lens = np.asarray(new_lens).copy()
         for s, req in enumerate(self.slots):
             if req is None:
                 self.slot_lens[s] = 0
                 continue
             for step in range(next_np.shape[0]):
-                req._emit(int(next_np[step, s]))
+                req._emit(int(next_np[step, s]), logp_np[step, s])
+                if self.slots[s] is not req:
+                    break  # cancel() from the on_token callback retired it
                 if req.done:
                     # eos overshoot: the cache holds a few garbage tokens
                     # past eos, but the request retires and frees them
@@ -1102,7 +1173,11 @@ def save_engine_state(eng: "ServingEngine", path: str) -> None:
             "req_id": r.req_id, "prompt": np.asarray(r.prompt).tolist(),
             "max_new_tokens": r.max_new_tokens, "eos_id": r.eos_id,
             "output": list(r.output), "temperature": r.temperature,
-            "top_k": r.top_k, "top_p": r.top_p}
+            "top_k": r.top_k, "top_p": r.top_p,
+            "cancelled": r.cancelled,
+            "want_logprobs": r.want_logprobs,
+            "logprobs": list(r.logprobs),
+            "stop": [list(s) for s in r.stop]}
 
     host = {
         "slots": [req(r) for r in eng.slots],
@@ -1167,8 +1242,12 @@ def load_engine_state(eng: "ServingEngine", path: str) -> None:
         r = Request(d["req_id"], np.asarray(d["prompt"], np.int32),
                     d["max_new_tokens"], d["eos_id"],
                     temperature=d.get("temperature", 0.0),
-                    top_k=d.get("top_k", 0), top_p=d.get("top_p", 0.0))
+                    top_k=d.get("top_k", 0), top_p=d.get("top_p", 0.0),
+                    cancelled=d.get("cancelled", False),
+                    want_logprobs=d.get("want_logprobs", False),
+                    stop=[list(s) for s in d.get("stop", [])])
         r.output.extend(d["output"])
+        r.logprobs.extend(d.get("logprobs", []))
         return r
 
     eng.slots = [req(d) for d in host["slots"]]

@@ -90,13 +90,15 @@ class EngineReplicaPool:
     def submit(self, prompt, max_new_tokens: int,
                eos_id: Optional[int] = None,
                on_token=None, temperature: float = 0.0,
-               top_k: int = 0, top_p: float = 0.0) -> int:
+               top_k: int = 0, top_p: float = 0.0,
+               logprobs: bool = False) -> int:
         gid = self._next_id
         self._next_id += 1
         self.queue.append((gid, np.asarray(prompt, np.int32),
                            max_new_tokens, eos_id,
                            dict(on_token=on_token, temperature=temperature,
-                                top_k=top_k, top_p=top_p)))
+                                top_k=top_k, top_p=top_p,
+                                logprobs=logprobs)))
         return gid
 
     def _try_dispatch(self) -> None:
@@ -228,31 +230,33 @@ class MultiProcessServingPool:
     def submit(self, prompt, max_new_tokens: int,
                eos_id: Optional[int] = None,
                temperature: float = 0.0, top_k: int = 0,
-               top_p: float = 0.0) -> int:
+               top_p: float = 0.0, logprobs: bool = False) -> int:
         gid = self._next_id
         self._next_id += 1
         self.req_q.put((gid, np.asarray(prompt, np.int32).tolist(),
                         max_new_tokens, eos_id,
                         {"temperature": temperature, "top_k": top_k,
-                         "top_p": top_p}))
+                         "top_p": top_p, "logprobs": logprobs}))
         self._pending += 1
         return gid
 
     def collect(self, timeout_s: float = 600.0):
         """Block until every submitted request finishes; returns
-        {gid: (worker_id, output tokens)}."""
+        {gid: (worker_id, output tokens[, logprobs])} — the logprobs
+        element rides along when the request asked for it."""
         import queue as _q
 
         out = {}
         while self._pending:
             try:
-                gid, wid, toks = self.res_q.get(timeout=timeout_s)
+                msg = self.res_q.get(timeout=timeout_s)
             except _q.Empty:
                 raise TimeoutError(
                     f"{self._pending} requests still pending")
+            gid, wid = msg[0], msg[1]
             if gid == "__worker_done__":
                 continue
-            out[gid] = (wid, toks)
+            out[gid] = (wid,) + tuple(msg[2:])
             self._pending -= 1
         return out
 

@@ -90,7 +90,10 @@ def worker_main(worker_id, model_seed, engine_kw, req_q, res_q,
         eng.step()
         done, eng.finished = eng.finished, []
         for r in done:
-            res_q.put((gid_of.pop(r.req_id), worker_id, list(r.output)))
+            msg = (gid_of.pop(r.req_id), worker_id, list(r.output))
+            if r.want_logprobs:
+                msg += (list(r.logprobs),)
+            res_q.put(msg)
     res_q.put(("__worker_done__", worker_id, []))
 
 
