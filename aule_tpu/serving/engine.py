@@ -179,9 +179,13 @@ class ServingEngine:
         by the same block tables (one allocator, two pools).  Rounds
         only run while every active request is greedy (temperature 0)
         and has >= K+1 tokens to go; otherwise the engine falls back to
-        the normal decode path mid-stream.  Requires layout='fused';
-        incompatible with enable_prefix_cache (cached pages hold target
-        KV only) and with engine-level sampler=/sample=."""
+        the normal decode path mid-stream.  Requires layout='fused' and
+        no engine-level sampler=/sample=.  Composes with prefix caching
+        (cached pages carry draft KV too — both pools share page ids and
+        every spec-engine request populates both over its prompt) and
+        with tensor-parallel serving (the draft's params/pool/scales
+        shard over `model_axis` exactly like the target's; requires
+        draft n_kv_heads % tp == 0)."""
         self.params = params
         self.cfg = cfg
         # model family module (models/llama.py interface: forward,
@@ -306,15 +310,10 @@ class ServingEngine:
             if layout != "fused":
                 raise ValueError("speculative decoding requires "
                                  "layout='fused'")
-            if mesh is not None:
-                raise ValueError("speculative decoding does not compose "
-                                 "with tensor-parallel serving yet")
-            if enable_prefix_cache:
+            if mesh is not None and draft_cfg.n_kv_heads % self.tp:
                 raise ValueError(
-                    "speculative decoding is incompatible with "
-                    "enable_prefix_cache: cached pages hold target KV "
-                    "only, so a prefix hit would leave the draft pool "
-                    "blank for those positions")
+                    f"draft n_kv_heads {draft_cfg.n_kv_heads} not "
+                    f"divisible by tp {self.tp}")
             if sample is not None or sampler is not None:
                 raise ValueError(
                     "speculative decoding is exact for greedy decoding "
@@ -344,8 +343,25 @@ class ServingEngine:
 
                 self.dk_scales = jnp.zeros(
                     (draft_cfg.n_layers,) + fused_scales_shape(
-                        num_pages, draft_cfg.n_kv_heads, page_size),
+                        num_pages, draft_cfg.n_kv_heads, page_size,
+                        tp=self.tp),
                     SCALE_DTYPE)
+            if mesh is not None:
+                # draft params + pool shard exactly like the target's
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dps = self.draft_model.param_specs(draft_cfg)
+                self.draft_params = jax.device_put(
+                    self.draft_params, jax.tree.map(
+                        lambda s: NamedSharding(mesh, s), dps,
+                        is_leaf=lambda x: isinstance(x, P)))
+                self.dk_pages = jax.device_put(
+                    self.dk_pages, NamedSharding(
+                        mesh, P(None, None, None, model_axis, None, None)))
+                if quantized:
+                    self.dk_scales = jax.device_put(
+                        self.dk_scales, NamedSharding(
+                            mesh, P(None, None, None, model_axis)))
 
         self.allocator = make_allocator(num_pages)
         # Reserve page 0 as a scratch sink: empty batch slots carry -1
@@ -763,17 +779,19 @@ class ServingEngine:
         _, kv = self.draft_model.forward(
             self.draft_params, tokens, self.draft_cfg,
             rope_cos=self.draft_rope_cos, rope_sin=self.draft_rope_sin,
-            return_kv=True)
+            return_kv=True, mesh=self.mesh, model_axis=self.model_axis)
         zero = jnp.zeros((1,), jnp.int32)
+        fused_append = self._fused_prefill_append()
         for li, (k, v) in enumerate(kv):
             if self.quantized:
-                kvp, sc, _ = kv_cache_append_prefill_fused(
+                kvp, sc = fused_append(
                     dk_pages[li], k, v, bt_row[None], zero, true_len,
-                    kv_scales=dk_scales[li])
+                    dk_scales[li])
                 dk_scales = dk_scales.at[li].set(sc)
             else:
-                kvp, _ = kv_cache_append_prefill_fused(
-                    dk_pages[li], k, v, bt_row[None], zero, true_len)
+                kvp, _ = fused_append(
+                    dk_pages[li], k, v, bt_row[None], zero, true_len,
+                    jnp.zeros((), jnp.float32))
             dk_pages = dk_pages.at[li].set(kvp)
         return dk_pages, dk_scales
 
@@ -787,12 +805,14 @@ class ServingEngine:
                 self.draft_params, tokens, q_offset, seq_len, pools,
                 bt_row[None], self.draft_cfg, self.draft_rope_cos,
                 self.draft_rope_sin,
-                kv_scales=[dk_scales[i] for i in range(L)])
+                kv_scales=[dk_scales[i] for i in range(L)],
+                mesh=self.mesh, model_axis=self.model_axis)
             return jnp.stack(kvs), jnp.stack(scs)
         _, kvs, _ = self.draft_model.prefill_step_fused(
             self.draft_params, tokens, q_offset, seq_len, pools,
             bt_row[None], self.draft_cfg, self.draft_rope_cos,
-            self.draft_rope_sin)
+            self.draft_rope_sin,
+            mesh=self.mesh, model_axis=self.model_axis)
         return jnp.stack(kvs), dk_scales
 
     def _spec_step(self, catchup, catchup_len, dlens, lens, bt,
@@ -821,13 +841,15 @@ class ServingEngine:
                 self.draft_params, catchup, dlens, catchup_len, dpools,
                 bt, self.draft_cfg, self.draft_rope_cos,
                 self.draft_rope_sin,
-                kv_scales=[dk_scales[i] for i in range(ld)])
+                kv_scales=[dk_scales[i] for i in range(ld)],
+                mesh=self.mesh, model_axis=self.model_axis)
             dk_pages, dk_scales = jnp.stack(dkvs), jnp.stack(dscs)
         else:
             dlogits, dkvs, _ = self.draft_model.prefill_step_fused(
                 self.draft_params, catchup, dlens, catchup_len, dpools,
                 bt, self.draft_cfg, self.draft_rope_cos,
-                self.draft_rope_sin)
+                self.draft_rope_sin,
+                mesh=self.mesh, model_axis=self.model_axis)
             dk_pages = jnp.stack(dkvs)
         g0 = jnp.argmax(dlogits, -1).astype(jnp.int32)
 
@@ -840,13 +862,15 @@ class ServingEngine:
                     self.draft_params, tok, pos, pools_i, bt, pos,
                     self.draft_cfg, self.draft_rope_cos,
                     self.draft_rope_sin,
-                    kv_scales=[dsc[j] for j in range(ld)])
+                    kv_scales=[dsc[j] for j in range(ld)],
+                    mesh=self.mesh, model_axis=self.model_axis)
                 dsc = jnp.stack(scs)
             else:
                 lg, kvs, _ = self.draft_model.decode_step_fused(
                     self.draft_params, tok, pos, pools_i, bt, pos,
                     self.draft_cfg, self.draft_rope_cos,
-                    self.draft_rope_sin)
+                    self.draft_rope_sin,
+                    mesh=self.mesh, model_axis=self.model_axis)
             nxt = jnp.argmax(lg, -1).astype(jnp.int32)
             return (nxt, jnp.stack(kvs), dsc), nxt
 
@@ -870,12 +894,14 @@ class ServingEngine:
                 self.params, chunk, lens, vlen, pools, bt, self.cfg,
                 self.rope_cos, self.rope_sin,
                 kv_scales=[k_scales[i] for i in range(lt)],
-                all_logits=True)
+                all_logits=True, mesh=self.mesh,
+                model_axis=self.model_axis)
             k_pages, k_scales = jnp.stack(kvs), jnp.stack(scs)
         else:
             logits, kvs, _ = self.model.prefill_step_fused(
                 self.params, chunk, lens, vlen, pools, bt, self.cfg,
-                self.rope_cos, self.rope_sin, all_logits=True)
+                self.rope_cos, self.rope_sin, all_logits=True,
+                mesh=self.mesh, model_axis=self.model_axis)
             k_pages = jnp.stack(kvs)
         a = jnp.argmax(logits, -1).astype(jnp.int32)    # [B, K+1]
         lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -906,7 +932,12 @@ class ServingEngine:
                 self.k_pages, self.k_scales)
         self.slot_lens[slot] = n
         if self.spec_tokens > 0:
-            for off in range(0, n, c):
+            # cached prefix pages already hold DRAFT KV too: every
+            # request in a spec engine populates both pools over its
+            # prompt before its pages can be content-registered, and the
+            # pools share page ids, so a target-side hit is a draft-side
+            # hit for the same tokens
+            for off in range(hit_len, n, c):
                 chunk = req.prompt[off:off + c]
                 dtok = np.zeros((1, c), np.int32)
                 dtok[0, :len(chunk)] = chunk

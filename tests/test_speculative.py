@@ -176,10 +176,6 @@ def test_spec_validation_errors(params, draft_params):
     with pytest.raises(ValueError, match="fused"):
         ServingEngine(params, CFG, spec_tokens=2, layout="split",
                       draft_params=draft_params, draft_cfg=DRAFT_CFG, **kw)
-    with pytest.raises(ValueError, match="prefix"):
-        ServingEngine(params, CFG, spec_tokens=2, prefill_chunk=8,
-                      enable_prefix_cache=True,
-                      draft_params=draft_params, draft_cfg=DRAFT_CFG, **kw)
     with pytest.raises(ValueError, match="greedy"):
         ServingEngine(params, CFG, spec_tokens=2,
                       sample=lambda lg: lg.argmax(-1),
@@ -256,3 +252,42 @@ def test_spec_moe_target_llama_draft(draft_params):
 
     assert run(draft_params=draft_params, draft_cfg=DRAFT_CFG,
                draft_model=llama, spec_tokens=2) == run()
+
+
+def test_spec_with_prefix_cache(params, draft_params):
+    """Prefix caching composes with spec decode: cached pages carry
+    draft KV too (both pools share page ids, every spec-engine request
+    populates both over its prompt), so a hit skips draft prefill as
+    well and the tokens still match the plain engine's."""
+    rng = np.random.default_rng(11)
+    shared = rng.integers(0, 256, size=32).astype(np.int32)
+    prompts = [np.concatenate([shared,
+                               rng.integers(0, 256, size=5).astype(
+                                   np.int32)]) for _ in range(2)]
+    plain, _ = _run(params, prompts, 6, prefill_chunk=16,
+                    enable_prefix_cache=True)
+    spec, eng = _run(params, prompts, 6, prefill_chunk=16,
+                     enable_prefix_cache=True,
+                     draft_params=draft_params, draft_cfg=DRAFT_CFG,
+                     spec_tokens=2)
+    assert spec == plain
+    assert eng.prefix_cache_hit_tokens >= 32  # 2 full shared pages
+
+
+def test_spec_tensor_parallel(params, draft_params):
+    """TP spec serving: draft params/pool shard over the model axis like
+    the target's; tokens match the single-device spec engine."""
+    from aule_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(0, 256, size=9).astype(np.int32)]
+    solo, _ = _run(params, prompts, 7)
+    mesh = make_mesh((1, 2), ("data", "model"),
+                     devices=jax.devices()[:2])
+    tp, eng = _run(params, prompts, 7, mesh=mesh,
+                   draft_params=draft_params, draft_cfg=DRAFT_CFG,
+                   spec_tokens=2)
+    assert tp == solo
+    assert eng.spec_drafted > 0
