@@ -573,14 +573,17 @@ class ServingEngine:
             catchup[s, :hi - lo] = seqs[s][lo:hi]
             clen[s] = hi - lo
         active = np.array([r is not None for r in self.slots])
+        want_lp = (jnp.zeros((), jnp.int32) if any(
+            r is not None and r.want_logprobs for r in self.slots)
+            else None)
         (a, lp, n_emit, m, self.k_pages, self.k_scales, self.dk_pages,
          self.dk_scales) = self._spec_jit(
             jnp.asarray(catchup), jnp.asarray(clen),
             jnp.asarray(self.slot_dlens), jnp.asarray(self.slot_lens),
             self._block_table(), self.k_pages, self.k_scales,
-            self.dk_pages, self.dk_scales, jnp.asarray(active))
+            self.dk_pages, self.dk_scales, jnp.asarray(active), want_lp)
         a, n_emit, m = np.asarray(a), np.asarray(n_emit), np.asarray(m)
-        lp = np.asarray(lp)
+        lp = np.asarray(lp) if lp is not None else None
         for s, req in enumerate(self.slots):
             if req is None:
                 continue
@@ -589,7 +592,8 @@ class ServingEngine:
             self.spec_accepted += int(m[s])
             emitted = 0
             for j in range(int(n_emit[s])):
-                req._emit(int(a[s, j]), lp[s, j])
+                req._emit(int(a[s, j]),
+                          lp[s, j] if lp is not None else None)
                 emitted += 1
                 if self.slots[s] is not req:
                     break
@@ -816,7 +820,8 @@ class ServingEngine:
         return jnp.stack(kvs), dk_scales
 
     def _spec_step(self, catchup, catchup_len, dlens, lens, bt,
-                   k_pages, k_scales, dk_pages, dk_scales, active):
+                   k_pages, k_scales, dk_pages, dk_scales, active,
+                   want_lp=None):
         """jit'd: one speculative round for the whole batch.
 
         catchup [B, K+1] holds the committed tokens at positions
@@ -904,8 +909,11 @@ class ServingEngine:
                 mesh=self.mesh, model_axis=self.model_axis)
             k_pages = jnp.stack(kvs)
         a = jnp.argmax(logits, -1).astype(jnp.int32)    # [B, K+1]
-        lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        lp = jnp.take_along_axis(lsm, a[..., None], axis=-1)[..., 0]
+        if want_lp is not None:
+            lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            lp = jnp.take_along_axis(lsm, a[..., None], axis=-1)[..., 0]
+        else:
+            lp = None
         match = (a[:, :K] == g).astype(jnp.int32)
         m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
         return a, lp, m + 1, m, k_pages, k_scales, dk_pages, dk_scales
@@ -950,8 +958,14 @@ class ServingEngine:
         tok, logp = self._host_sample(
             logits[0], req.temperature, req.top_k, req.top_p)
         req._emit(int(tok), logp)
+        if self.slots[slot] is not req:
+            return  # cancel() from the callback already retired it
         if self.enable_prefix_cache:
             self._register_prompt_pages(slot, req)
+        if req.done:
+            # first token satisfied the request (max_new_tokens=1, eos,
+            # or a stop sequence): retire before any decode dispatch
+            self._retire(slot)
 
     def _register_prompt_pages(self, slot: int, req: Request) -> None:
         """Content-register this request's FULL prompt pages (they now
@@ -999,6 +1013,10 @@ class ServingEngine:
         tok, logp = self._host_sample(logits[0, n - 1], req.temperature,
                                       req.top_k, req.top_p)
         req._emit(int(tok), logp)
+        if self.slots[slot] is not req:
+            return  # cancel() from the callback already retired it
+        if req.done:
+            self._retire(slot)
 
     def _sample_dev(self, logits, key, temps=None, tks=None, tps=None):
         """In-jit sampling: engine-level PRNG sampler when configured;
@@ -1046,7 +1064,15 @@ class ServingEngine:
         return tok, logp
 
     def _decode_step(self, tokens, positions, bt, lens, k_pages, v_pages,
-                     k_scales, v_scales, key, temps, tks=None, tps=None):
+                     k_scales, v_scales, key, temps, tks=None, tps=None,
+                     want_lp=None):
+        # want_lp rides as None (a static pytree shape) unless some
+        # running request asked for logprobs — the common executable
+        # skips the vocab-wide log_softmax + host logp transfer entirely
+        def lp(logits, nxt):
+            return (_chosen_logprob(logits, nxt)
+                    if want_lp is not None else None)
+
         L = self.cfg.n_layers
         if self.layout == "fused":
             pools = [k_pages[i] for i in range(L)]
@@ -1057,14 +1083,14 @@ class ServingEngine:
                     kv_scales=[k_scales[i] for i in range(L)],
                     mesh=self.mesh, model_axis=self.model_axis)
                 nxt = self._sample_dev(logits, key, temps, tks, tps)
-                return (nxt, _chosen_logprob(logits, nxt), jnp.stack(kvs),
+                return (nxt, lp(logits, nxt), jnp.stack(kvs),
                         v_pages, new_lens, jnp.stack(scs), v_scales)
             logits, kvs, new_lens = self.model.decode_step_fused(
                 self.params, tokens, positions, pools, bt, lens,
                 self.cfg, self.rope_cos, self.rope_sin,
                 mesh=self.mesh, model_axis=self.model_axis)
             nxt = self._sample_dev(logits, key, temps, tks, tps)
-            return (nxt, _chosen_logprob(logits, nxt), jnp.stack(kvs),
+            return (nxt, lp(logits, nxt), jnp.stack(kvs),
                     v_pages, new_lens, k_scales, v_scales)
         if self.quantized:
             logits, kps, vps, new_lens, kss, vss = self.model.decode_step(
@@ -1076,7 +1102,7 @@ class ServingEngine:
                 v_scales=[v_scales[i] for i in range(L)],
                 mesh=self.mesh, model_axis=self.model_axis)
             next_tokens = self._sample_dev(logits, key, temps, tks, tps)
-            return (next_tokens, _chosen_logprob(logits, next_tokens),
+            return (next_tokens, lp(logits, next_tokens),
                     jnp.stack(kps), jnp.stack(vps), new_lens,
                     jnp.stack(kss), jnp.stack(vss))
         logits, kps, vps, new_lens = self.model.decode_step(
@@ -1086,19 +1112,19 @@ class ServingEngine:
             bt, lens, self.cfg, self.rope_cos, self.rope_sin,
             mesh=self.mesh, model_axis=self.model_axis)
         next_tokens = self._sample_dev(logits, key, temps, tks, tps)
-        return (next_tokens, _chosen_logprob(logits, next_tokens),
+        return (next_tokens, lp(logits, next_tokens),
                 jnp.stack(kps), jnp.stack(vps), new_lens,
                 k_scales, v_scales)
 
     def _decode_multi(self, tokens, positions, bt, lens, k_pages, v_pages,
                       k_scales, v_scales, key, temps, tks=None, tps=None,
-                      *, n_steps):
+                      want_lp=None, *, n_steps):
         """jit'd: n_steps decode steps in one dispatch (lax.scan)."""
         def body(carry, t):
             tok, pos, ln, kp, vp, ks, vs = carry
             nxt, logp, kp, vp, new_ln, ks, vs = self._decode_step(
                 tok, pos, bt, ln, kp, vp, ks, vs,
-                jax.random.fold_in(key, t), temps, tks, tps)
+                jax.random.fold_in(key, t), temps, tks, tps, want_lp)
             return (nxt, pos + 1, new_ln, kp, vp, ks, vs), (nxt, logp)
 
         init = (tokens, positions, lens, k_pages, v_pages,
@@ -1130,6 +1156,9 @@ class ServingEngine:
                if any(tk_list) else None)
         tps = (jnp.asarray(tp_list, jnp.float32)
                if any(tp_list) else None)
+        want_lp = (jnp.zeros((), jnp.int32) if any(
+            r is not None and r.want_logprobs for r in self.slots)
+            else None)
         k = self.decode_steps
         multi = (k > 1 and not self.waiting and remaining
                  and min(remaining) >= k)
@@ -1138,24 +1167,27 @@ class ServingEngine:
              self.k_scales, self.v_scales) = self._decode_multi_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
-                step_key, temps, tks, tps, n_steps=k)
+                step_key, temps, tks, tps, want_lp, n_steps=k)
             next_np = np.asarray(toks)  # [k, max_batch]
-            logp_np = np.asarray(logps)
+            logp_np = np.asarray(logps) if logps is not None else None
         else:
             (next_tokens, logps, self.k_pages, self.v_pages, new_lens,
              self.k_scales, self.v_scales) = self._decode_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
-                step_key, temps, tks, tps)
+                step_key, temps, tks, tps, want_lp)
             next_np = np.asarray(next_tokens)[None]
-            logp_np = np.asarray(logps)[None]
+            logp_np = (np.asarray(logps)[None] if logps is not None
+                       else None)
         self.slot_lens = np.asarray(new_lens).copy()
         for s, req in enumerate(self.slots):
             if req is None:
                 self.slot_lens[s] = 0
                 continue
             for step in range(next_np.shape[0]):
-                req._emit(int(next_np[step, s]), logp_np[step, s])
+                req._emit(int(next_np[step, s]),
+                          logp_np[step, s] if logp_np is not None
+                          else None)
                 if self.slots[s] is not req:
                     break  # cancel() from the on_token callback retired it
                 if req.done:

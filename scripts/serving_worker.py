@@ -9,9 +9,12 @@ below is byte-identical either way.
 
 Protocol (multiprocessing queues):
   request:  (gid, prompt int32 list, max_new_tokens, eos_id,
-             {temperature, top_k, top_p}) or the sentinel None ->
-            drain and exit
-  response: (gid, worker_id, output token list)
+             {temperature, top_k, top_p, logprobs}) or the sentinel
+            None -> drain and exit
+  response: (gid, worker_id, output token list[, logprobs list]) —
+            the 4th element rides along iff the request asked for
+            logprobs, so consumers must unpack by prefix (msg[0:3]),
+            not by fixed arity
 
 The worker polls the queue between engine steps, so new requests join
 mid-flight (continuous batching across the fleet).

@@ -117,3 +117,24 @@ def test_cancel_unknown_or_finished(params):
     assert not eng.cancel(rid + 999)
     eng.run()
     assert not eng.cancel(rid)  # already finished
+
+
+def test_cancel_on_first_token_with_prefix_cache(params):
+    """cancel() from the on_token callback on the PREFILL-emitted first
+    token, with prefix caching on: the engine must not register pages of
+    the already-retired slot (code-review r3 finding: IndexError)."""
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, 256, size=20).astype(np.int32)  # >1 page
+    eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256, prefill_chunk=8,
+                        enable_prefix_cache=True)
+
+    def cb(rid, tok):
+        assert eng.cancel(rid)
+
+    rid = eng.submit(prompt, max_new_tokens=6, on_token=cb)
+    done = eng.run()
+    assert done[0].req_id == rid and done[0].cancelled
+    assert len(done[0].output) == 1
+    assert eng.allocator.num_free == 64 - 1

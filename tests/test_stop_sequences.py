@@ -66,3 +66,25 @@ def test_empty_stop_rejected(params):
                         max_seq_len=256)
     with pytest.raises(ValueError, match="non-empty"):
         eng.submit(np.asarray([1, 2], np.int32), 4, stop=[[]])
+
+
+def test_first_token_satisfies_request(params):
+    """max_new_tokens=1, a first-token eos, and a first-token stop all
+    retire at the prefill-emitted token — no decode dispatch may extend
+    them (code-review r3 finding: done was only checked on decode
+    emits)."""
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, 256, size=6).astype(np.int32)
+    plain = run(params, prompt)
+    first = plain[0]
+
+    def run1(**kw):
+        eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256)
+        eng.submit(prompt, **kw)
+        return eng.run()[0].output
+
+    assert run1(max_new_tokens=1) == [first]
+    assert run1(max_new_tokens=8, eos_id=first) == [first]
+    assert run1(max_new_tokens=8, stop=[[first]]) == [first]
