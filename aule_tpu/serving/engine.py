@@ -412,6 +412,12 @@ class ServingEngine:
         # samplers; eos overshoot is trimmed host-side.
         self.decode_steps = max(1, int(decode_steps))
 
+        # observability counters (see stats())
+        self.tokens_generated = 0
+        self.prefill_dispatches = 0
+        self.decode_dispatches = 0
+        self.spec_rounds = 0
+
         self._decode_jit = jax.jit(self._decode_step)
         self._decode_multi_jit = jax.jit(
             self._decode_multi, static_argnames=("n_steps",))
@@ -490,6 +496,25 @@ class ServingEngine:
                 self._retire(s)
                 return True
         return False
+
+    def stats(self) -> Dict[str, Any]:
+        """Operational counters for dashboards/monitoring: queue depths,
+        page pressure, dispatch/token counts, prefix-cache and
+        speculative-decoding effectiveness."""
+        return {
+            "running": self.num_running,
+            "waiting": len(self.waiting),
+            "finished": len(self.finished),
+            "free_pages": self.allocator.num_free,
+            "tokens_generated": self.tokens_generated,
+            "prefill_dispatches": self.prefill_dispatches,
+            "decode_dispatches": self.decode_dispatches,
+            "spec_rounds": self.spec_rounds,
+            "spec_drafted": self.spec_drafted,
+            "spec_accepted": self.spec_accepted,
+            "prefix_cache_pages": len(self._page_rc),
+            "prefix_cache_hit_tokens": self.prefix_cache_hit_tokens,
+        }
 
     @property
     def num_running(self) -> int:
@@ -582,6 +607,7 @@ class ServingEngine:
             jnp.asarray(self.slot_dlens), jnp.asarray(self.slot_lens),
             self._block_table(), self.k_pages, self.k_scales,
             self.dk_pages, self.dk_scales, jnp.asarray(active), want_lp)
+        self.spec_rounds += 1
         a, n_emit, m = np.asarray(a), np.asarray(n_emit), np.asarray(m)
         lp = np.asarray(lp) if lp is not None else None
         for s, req in enumerate(self.slots):
@@ -592,6 +618,7 @@ class ServingEngine:
             self.spec_accepted += int(m[s])
             emitted = 0
             for j in range(int(n_emit[s])):
+                self.tokens_generated += 1
                 req._emit(int(a[s, j]),
                           lp[s, j] if lp is not None else None)
                 emitted += 1
@@ -934,6 +961,7 @@ class ServingEngine:
             chunk = req.prompt[off:off + c]
             tokens = np.zeros((1, c), np.int32)
             tokens[0, :len(chunk)] = chunk
+            self.prefill_dispatches += 1
             logits, self.k_pages, self.k_scales = self._prefill_chunk_jit(
                 jnp.asarray(tokens), jnp.asarray([off], jnp.int32),
                 jnp.asarray([len(chunk)], jnp.int32), bt,
@@ -957,6 +985,7 @@ class ServingEngine:
             self.slot_dlens[slot] = n
         tok, logp = self._host_sample(
             logits[0], req.temperature, req.top_k, req.top_p)
+        self.tokens_generated += 1
         req._emit(int(tok), logp)
         if self.slots[slot] is not req:
             return  # cancel() from the callback already retired it
@@ -1001,6 +1030,7 @@ class ServingEngine:
             self.k_scales, self.v_scales, pad_len=pad_len)
         # note: padded tail tokens scatter garbage beyond n, but
         # context_len = n hides them from decode
+        self.prefill_dispatches += 1
         self.slot_lens[slot] = n
         if self.spec_tokens > 0:
             # the draft pool must hold the prompt KV too (its decode
@@ -1012,6 +1042,7 @@ class ServingEngine:
             self.slot_dlens[slot] = n
         tok, logp = self._host_sample(logits[0, n - 1], req.temperature,
                                       req.top_k, req.top_p)
+        self.tokens_generated += 1
         req._emit(int(tok), logp)
         if self.slots[slot] is not req:
             return  # cancel() from the callback already retired it
@@ -1179,12 +1210,14 @@ class ServingEngine:
             next_np = np.asarray(next_tokens)[None]
             logp_np = (np.asarray(logps)[None] if logps is not None
                        else None)
+        self.decode_dispatches += 1
         self.slot_lens = np.asarray(new_lens).copy()
         for s, req in enumerate(self.slots):
             if req is None:
                 self.slot_lens[s] = 0
                 continue
             for step in range(next_np.shape[0]):
+                self.tokens_generated += 1
                 req._emit(int(next_np[step, s]),
                           logp_np[step, s] if logp_np is not None
                           else None)

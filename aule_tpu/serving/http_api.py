@@ -20,7 +20,9 @@ contract as ServingEngine):
       {"id": ..., "done": true, "cancelled": ...} line.
 
   POST /v1/cancel    {"id": int} -> {"cancelled": bool}
-  GET  /health       {"status": "ok", "running": R, "waiting": W}
+  GET  /health       {"status": "ok", **engine.stats()} — queue depths,
+                     page pressure, token/dispatch counters, prefix-cache
+                     and speculative-decoding effectiveness
 
 Threading model: ServingEngine is single-threaded by design, so ALL
 engine interaction happens under one lock — handler threads only
@@ -82,10 +84,8 @@ class ServingHTTPServer:
                 if self.path != "/health":
                     return self._json(404, {"error": "unknown path"})
                 with outer._lock:
-                    running = outer.engine.num_running
-                    waiting = len(outer.engine.waiting)
-                self._json(200, {"status": "ok", "running": running,
-                                 "waiting": waiting})
+                    stats = outer.engine.stats()
+                self._json(200, {"status": "ok", **stats})
 
             def do_POST(self):
                 try:

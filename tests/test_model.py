@@ -238,3 +238,19 @@ def test_engine_tensor_parallel_fused(params, quantized):
         done = eng.run()
         outs[mesh is None] = [r.output for r in done]
     assert outs[True] == outs[False], (outs[True], outs[False])
+
+
+def test_engine_stats_counters(params):
+    """stats() exposes throughput/queue/cache counters for monitoring."""
+    rng = np.random.default_rng(12)
+    eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256)
+    eng.submit(rng.integers(0, 256, size=6).astype(np.int32), 5)
+    eng.run()
+    st = eng.stats()
+    assert st["tokens_generated"] == 5
+    assert st["prefill_dispatches"] == 1
+    assert st["decode_dispatches"] >= 1
+    assert st["running"] == 0 and st["waiting"] == 0
+    assert st["free_pages"] == 64 - 1
