@@ -18,6 +18,7 @@ hits the same compiled executable.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
@@ -37,6 +38,9 @@ try:
     shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
+
+
+logger = logging.getLogger(__name__)
 
 
 def _chosen_logprob(logits, toks):
@@ -150,6 +154,7 @@ class ServingEngine:
         draft_cfg=None,
         draft_model=None,
         spec_tokens: int = 0,
+        spec_min_acceptance: float = 0.0,
     ):
         """layout='fused' (default) stores KV in the single-DMA-per-page
         pool layout (ops/paged_fused.py — the serving fast path);
@@ -301,6 +306,15 @@ class ServingEngine:
         self.spec_tokens = int(spec_tokens)
         self.spec_drafted = 0   # candidate tokens proposed (stats)
         self.spec_accepted = 0  # candidates the target agreed with
+        # adaptive fallback: a draft whose measured acceptance rate is
+        # too low makes each round SLOWER than plain multi-step decode
+        # (draft steps + verify buy nothing); after 8 rounds below the
+        # threshold, spec disables for the engine's lifetime — the
+        # draft model doesn't change, so neither will its acceptance.
+        # 0.0 (default) never disables.  Token output is identical
+        # either way; only the dispatch pattern changes.
+        self.spec_min_acceptance = float(spec_min_acceptance)
+        self._spec_disabled = False
         self.dk_pages = None
         self.dk_scales = None
         if self.spec_tokens > 0:
@@ -512,6 +526,7 @@ class ServingEngine:
             "spec_rounds": self.spec_rounds,
             "spec_drafted": self.spec_drafted,
             "spec_accepted": self.spec_accepted,
+            "spec_disabled": self._spec_disabled,
             "prefix_cache_pages": len(self._page_rc),
             "prefix_cache_hit_tokens": self.prefix_cache_hit_tokens,
         }
@@ -548,7 +563,7 @@ class ServingEngine:
         K+1 cache appends stay inside the request's page budget) and
         nothing is waiting for a slot (admission latency beats batching
         a longer round, same rule as multi-step decode)."""
-        if self.spec_tokens <= 0 or self.waiting:
+        if self.spec_tokens <= 0 or self._spec_disabled or self.waiting:
             return False
         for req in self.slots:
             if req is None:
@@ -610,6 +625,15 @@ class ServingEngine:
         self.spec_rounds += 1
         a, n_emit, m = np.asarray(a), np.asarray(n_emit), np.asarray(m)
         lp = np.asarray(lp) if lp is not None else None
+        if (self.spec_min_acceptance > 0.0 and self.spec_rounds >= 8
+                and (self.spec_accepted / max(self.spec_drafted, 1))
+                < self.spec_min_acceptance):
+            self._spec_disabled = True
+            logger.info(
+                "speculative decoding disabled: acceptance %.3f < %.3f "
+                "after %d rounds (plain multi-step decode is faster)",
+                self.spec_accepted / max(self.spec_drafted, 1),
+                self.spec_min_acceptance, self.spec_rounds)
         for s, req in enumerate(self.slots):
             if req is None:
                 continue
@@ -1298,6 +1322,7 @@ def save_engine_state(eng: "ServingEngine", path: str) -> None:
         "slot_dlens": eng.slot_dlens.tolist(),
         "spec_drafted": eng.spec_drafted,
         "spec_accepted": eng.spec_accepted,
+        "spec_disabled": eng._spec_disabled,
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path + ".state.json", "w") as f:
@@ -1365,3 +1390,4 @@ def load_engine_state(eng: "ServingEngine", path: str) -> None:
         eng.slot_dlens = np.asarray(host["slot_dlens"], np.int32)
         eng.spec_drafted = host.get("spec_drafted", 0)
         eng.spec_accepted = host.get("spec_accepted", 0)
+        eng._spec_disabled = host.get("spec_disabled", False)

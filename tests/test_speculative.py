@@ -291,3 +291,25 @@ def test_spec_tensor_parallel(params, draft_params):
                    spec_tokens=2)
     assert tp == solo
     assert eng.spec_drafted > 0
+
+
+def test_spec_adaptive_disable(params, draft_params):
+    """spec_min_acceptance: a draft whose measured acceptance stays
+    below the threshold stops being consulted after 8 rounds (plain
+    multi-step decode is faster then); tokens are identical regardless."""
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(0, 256, size=6).astype(np.int32)]
+    plain, _ = _run(params, prompts, 24)
+    spec, eng = _run(params, prompts, 24,
+                     draft_params=draft_params, draft_cfg=DRAFT_CFG,
+                     spec_tokens=1, spec_min_acceptance=0.99)
+    assert spec == plain
+    assert eng._spec_disabled
+    assert eng.spec_rounds >= 8
+    assert eng.stats()["spec_disabled"]
+
+    # a perfect draft never trips the threshold
+    spec, eng = _run(params, prompts, 24, draft_params=params,
+                     draft_cfg=CFG, spec_tokens=1,
+                     spec_min_acceptance=0.5)
+    assert spec == plain and not eng._spec_disabled
