@@ -155,6 +155,8 @@ class ServingEngine:
         draft_model=None,
         spec_tokens: int = 0,
         spec_min_acceptance: float = 0.0,
+        ngram_spec: int = 0,
+        ngram_max: int = 3,
     ):
         """layout='fused' (default) stores KV in the single-DMA-per-page
         pool layout (ops/paged_fused.py — the serving fast path);
@@ -190,7 +192,18 @@ class ServingEngine:
         every spec-engine request populates both over its prompt) and
         with tensor-parallel serving (the draft's params/pool/scales
         shard over `model_axis` exactly like the target's; requires
-        draft n_kv_heads % tp == 0)."""
+        draft n_kv_heads % tp == 0).
+
+        Prompt-lookup decoding (ngram_spec=K > 0): DRAFT-FREE
+        speculation — candidates come from matching the context's last
+        n-gram (n = ngram_max..1, longest first, most recent occurrence
+        wins) against earlier context and copying the K tokens that
+        followed; the target verifies them in the same one-dispatch
+        chunked prefill as draft-based spec.  Zero extra model or KV
+        pool; wins whenever generation copies earlier text
+        (summarization, code edits, greedy repetition loops).  Token-
+        identical to plain greedy.  Mutually exclusive with
+        spec_tokens."""
         self.params = params
         self.cfg = cfg
         # model family module (models/llama.py interface: forward,
@@ -315,6 +328,21 @@ class ServingEngine:
         # either way; only the dispatch pattern changes.
         self.spec_min_acceptance = float(spec_min_acceptance)
         self._spec_disabled = False
+        self.ngram_spec = int(ngram_spec)
+        self.ngram_max = int(ngram_max)
+        if self.ngram_spec > 0:
+            if self.spec_tokens > 0:
+                raise ValueError(
+                    "ngram_spec and spec_tokens are mutually exclusive")
+            if layout != "fused":
+                raise ValueError("prompt-lookup decoding requires "
+                                 "layout='fused'")
+            if sample is not None or sampler is not None:
+                raise ValueError(
+                    "prompt-lookup decoding is exact for greedy decoding "
+                    "only; drop sampler=/sample=")
+            if ngram_max < 1:
+                raise ValueError("ngram_max must be >= 1")
         self.dk_pages = None
         self.dk_scales = None
         if self.spec_tokens > 0:
@@ -444,6 +472,8 @@ class ServingEngine:
                 self._prefill_draft, static_argnames=("pad_len",))
             self._prefill_chunk_draft_jit = jax.jit(
                 self._prefill_chunk_draft_step)
+        if self.ngram_spec > 0:
+            self._ngram_jit = jax.jit(self._ngram_verify)
 
     # -- public API ------------------------------------------------------
 
@@ -554,6 +584,8 @@ class ServingEngine:
         if self.num_running:
             if self._spec_eligible():
                 self._spec_all()
+            elif self._ngram_eligible() and self._ngram_all():
+                pass  # prompt-lookup round committed >= 1 token/request
             else:
                 self._decode_all()
 
@@ -968,6 +1000,141 @@ class ServingEngine:
         match = (a[:, :K] == g).astype(jnp.int32)
         m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
         return a, lp, m + 1, m, k_pages, k_scales, dk_pages, dk_scales
+
+    def _ngram_verify(self, t, g, lens, bt, k_pages, k_scales, active,
+                      want_lp=None):
+        """jit'd: the target-verify half of a speculative round, for
+        prompt-lookup mode (no draft model): ONE chunked prefill over
+        [t, g_0..g_{K-1}] with per-position logits; acceptance exactly
+        as in _spec_step."""
+        K = self.ngram_spec
+        chunk = jnp.concatenate([t[:, None], g], axis=1)  # [B, K+1]
+        vlen = jnp.where(active, K + 1, 0).astype(jnp.int32)
+        lt = self.cfg.n_layers
+        pools = [k_pages[i] for i in range(lt)]
+        if self.quantized:
+            logits, kvs, _, scs = self.model.prefill_step_fused(
+                self.params, chunk, lens, vlen, pools, bt, self.cfg,
+                self.rope_cos, self.rope_sin,
+                kv_scales=[k_scales[i] for i in range(lt)],
+                all_logits=True, mesh=self.mesh,
+                model_axis=self.model_axis)
+            k_pages, k_scales = jnp.stack(kvs), jnp.stack(scs)
+        else:
+            logits, kvs, _ = self.model.prefill_step_fused(
+                self.params, chunk, lens, vlen, pools, bt, self.cfg,
+                self.rope_cos, self.rope_sin, all_logits=True,
+                mesh=self.mesh, model_axis=self.model_axis)
+            k_pages = jnp.stack(kvs)
+        a = jnp.argmax(logits, -1).astype(jnp.int32)
+        if want_lp is not None:
+            lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            lp = jnp.take_along_axis(lsm, a[..., None], axis=-1)[..., 0]
+        else:
+            lp = None
+        match = (a[:, :K] == g).astype(jnp.int32)
+        m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+        return a, lp, m + 1, m, k_pages, k_scales
+
+    def _ngram_eligible(self) -> bool:
+        if self.ngram_spec <= 0 or self._spec_disabled or self.waiting:
+            return False
+        for req in self.slots:
+            if req is None:
+                continue
+            if req.temperature > 0.0:
+                return False
+            if req.max_new_tokens - len(req.output) < self.ngram_spec + 1:
+                return False
+        return True
+
+    def _ngram_propose(self, seq: np.ndarray) -> Optional[np.ndarray]:
+        """Longest-n-gram prompt lookup: match the context's trailing
+        n-gram (n = ngram_max..1) against earlier context; most recent
+        occurrence wins; returns the K tokens that followed it (padded
+        by repeating the last token when the match sits near the end),
+        or None when nothing matches."""
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        k = self.ngram_spec
+        L = seq.size
+        for n in range(min(self.ngram_max, L - 1), 0, -1):
+            tail = seq[L - n:]
+            wins = sliding_window_view(seq, n)[:L - n]  # excl. the tail
+            hits = np.flatnonzero((wins == tail).all(axis=1))
+            if hits.size == 0:
+                continue
+            i = int(hits[-1])
+            cont = seq[i + n:i + n + k]
+            if cont.size < k:
+                cont = np.concatenate(
+                    [cont, np.full(k - cont.size, cont[-1], seq.dtype)])
+            return cont
+        return None
+
+    def _ngram_all(self) -> bool:
+        """One prompt-lookup round; returns False (and does nothing)
+        when no slot has a candidate continuation."""
+        k = self.ngram_spec
+        b = self.max_batch
+        g = np.zeros((b, k), np.int32)
+        t = np.zeros((b,), np.int32)
+        any_prop = False
+        for s, req in enumerate(self.slots):
+            if req is None:
+                continue
+            seq = np.concatenate(
+                [req.prompt, np.asarray(req.output, np.int32)])
+            t[s] = seq[-1]
+            prop = self._ngram_propose(seq)
+            if prop is not None:
+                g[s] = prop
+                any_prop = True
+        if not any_prop:
+            return False
+        active = np.array([r is not None for r in self.slots])
+        want_lp = (jnp.zeros((), jnp.int32) if any(
+            r is not None and r.want_logprobs for r in self.slots)
+            else None)
+        (a, lp, n_emit, m, self.k_pages, self.k_scales) = self._ngram_jit(
+            jnp.asarray(t), jnp.asarray(g), jnp.asarray(self.slot_lens),
+            self._block_table(), self.k_pages, self.k_scales,
+            jnp.asarray(active), want_lp)
+        self.spec_rounds += 1
+        a, n_emit, m = np.asarray(a), np.asarray(n_emit), np.asarray(m)
+        lp = np.asarray(lp) if lp is not None else None
+        for s, req in enumerate(self.slots):
+            if req is None:
+                continue
+            lens_old = int(self.slot_lens[s])
+            self.spec_drafted += k
+            self.spec_accepted += int(m[s])
+            emitted = 0
+            for j in range(int(n_emit[s])):
+                self.tokens_generated += 1
+                req._emit(int(a[s, j]),
+                          lp[s, j] if lp is not None else None)
+                emitted += 1
+                if self.slots[s] is not req:
+                    break
+                if req.done:
+                    break
+            if self.slots[s] is not req:
+                continue  # cancel() from the callback retired it
+            if req.done:
+                self._retire(s)
+            else:
+                self.slot_lens[s] = lens_old + emitted
+        if (self.spec_min_acceptance > 0.0 and self.spec_rounds >= 8
+                and (self.spec_accepted / max(self.spec_drafted, 1))
+                < self.spec_min_acceptance):
+            self._spec_disabled = True
+            logger.info(
+                "prompt-lookup decoding disabled: acceptance %.3f < "
+                "%.3f after %d rounds", self.spec_accepted
+                / max(self.spec_drafted, 1), self.spec_min_acceptance,
+                self.spec_rounds)
+        return True
 
     def _run_prefill_chunked(self, slot: int, req: Request,
                              hit_len: int = 0) -> None:
