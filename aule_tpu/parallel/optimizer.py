@@ -70,10 +70,17 @@ def adamw_init(params, param_specs=None, mesh: Optional[Mesh] = None,
                       nu=jax.tree.map(lambda z: z, zeros))
 
 
+def global_norm(tree) -> jnp.ndarray:
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in jax.tree.leaves(tree)))
+
+
 def make_adamw_train_step(model, cfg, mesh: Optional[Mesh] = None,
-                          *, lr: float = 1e-4, b1: float = 0.9,
+                          *, lr=1e-4, b1: float = 0.9,
                           b2: float = 0.999, eps: float = 1e-8,
                           weight_decay: float = 0.0,
+                          clip_norm: float = 0.0,
+                          micro_batches: int = 1,
                           data_axis: str = "data"):
     """jit'd (params, opt_state, tokens) -> (params, opt_state, loss).
 
@@ -81,7 +88,14 @@ def make_adamw_train_step(model, cfg, mesh: Optional[Mesh] = None,
     mesh) and param_specs(cfg) (models/llama.py interface).  Without a
     mesh this is plain single-device AdamW; with one, params pin to
     their TP specs and moments to ZeRO-1 specs.
-    """
+
+    lr: float or callable(step_count int32) -> f32 (schedules run
+    in-jit, e.g. lambda t: peak * jnp.minimum(1.0, t / warmup)).
+    clip_norm > 0 applies global-norm gradient clipping.
+    micro_batches=N accumulates grads over N sequential microbatches
+    (tokens' batch dim must divide N) before the single update —
+    activation memory scales with batch/N while the update sees the
+    full-batch gradient."""
     p_specs = model.param_specs(cfg) if mesh is not None else None
 
     def constrain(tree, specs):
@@ -93,12 +107,38 @@ def make_adamw_train_step(model, cfg, mesh: Optional[Mesh] = None,
             tree, specs, is_leaf=lambda x: isinstance(x, P))
 
     def step(params, opt: AdamWState, tokens):
-        loss, grads = jax.value_and_grad(model.loss_fn)(
-            params, tokens, cfg, mesh)
-        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        if micro_batches > 1:
+            b = tokens.shape[0]
+            assert b % micro_batches == 0, (b, micro_batches)
+            micro = tokens.reshape(micro_batches, b // micro_batches,
+                                   *tokens.shape[1:])
+
+            def acc(carry, mb):
+                loss_sum, g_sum = carry
+                loss, g = jax.value_and_grad(model.loss_fn)(
+                    params, mb, cfg, mesh)
+                g_sum = jax.tree.map(
+                    lambda a, x: a + x.astype(jnp.float32), g_sum, g)
+                return (loss_sum + loss, g_sum), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+            (loss, grads), _ = jax.lax.scan(
+                acc, (jnp.float32(0.0), zeros), micro)
+            loss = loss / micro_batches
+            grads = jax.tree.map(lambda g: g / micro_batches, grads)
+        else:
+            loss, grads = jax.value_and_grad(model.loss_fn)(
+                params, tokens, cfg, mesh)
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        if clip_norm > 0.0:
+            scale = jnp.minimum(
+                1.0, clip_norm / (global_norm(grads) + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
         z_specs = (zero1_specs(p_specs, params, mesh, data_axis)
                    if mesh is not None else None)
         count = opt.count + 1
+        lr_t = lr(count) if callable(lr) else lr
         # pinning mu/nu to the ZeRO-1 specs makes GSPMD reduce-scatter
         # the (param-spec'd) gradients into the moment shards
         mu = constrain(jax.tree.map(
@@ -113,7 +153,7 @@ def make_adamw_train_step(model, cfg, mesh: Optional[Mesh] = None,
             u = (m / c1) / (jnp.sqrt(v / c2) + eps)
             if weight_decay:
                 u = u + weight_decay * p.astype(jnp.float32)
-            return (p.astype(jnp.float32) - lr * u).astype(p.dtype)
+            return (p.astype(jnp.float32) - lr_t * u).astype(p.dtype)
 
         # pinning params back to their (data-replicated) TP specs is
         # the ZeRO-1 all-gather of the sharded update

@@ -99,3 +99,48 @@ def test_zero1_specs_divisibility():
     assert zs["a"] == P("data", "model")   # dim0 8 % 4 == 0
     assert zs["b"] == P(None, None)        # nothing divisible: replicated
     assert zs["c"] == P("model", "data")   # dim0 taken; dim1 8 % 4 == 0
+
+
+def test_grad_accumulation_matches_full_batch():
+    """micro_batches=N: same update as the full-batch step (the loss is
+    a mean, so averaged microbatch grads == full-batch grads)."""
+    params0 = llama.init_params(CFG, jax.random.key(2))
+    toks = _tokens(batch=4)
+
+    full_p, full_o = params0, adamw_init(params0)
+    step_full = make_adamw_train_step(llama, CFG, lr=1e-3)
+    full_p, full_o, full_loss = step_full(full_p, full_o, toks)
+
+    acc_p, acc_o = params0, adamw_init(params0)
+    step_acc = make_adamw_train_step(llama, CFG, lr=1e-3,
+                                     micro_batches=4)
+    acc_p, acc_o, acc_loss = step_acc(acc_p, acc_o, toks)
+
+    np.testing.assert_allclose(float(acc_loss), float(full_loss),
+                               atol=1e-6)
+    for a, b in zip(jax.tree.leaves(acc_p), jax.tree.leaves(full_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
+
+
+def test_clip_and_schedule():
+    """Global-norm clipping bounds the update; a warmup schedule's step
+    size grows with count."""
+    from aule_tpu.parallel.optimizer import global_norm
+
+    params = llama.init_params(CFG, jax.random.key(3))
+    toks = _tokens(batch=2)
+    sched = lambda t: 1e-2 * jnp.minimum(1.0, t.astype(jnp.float32) / 4)
+    step = make_adamw_train_step(llama, CFG, lr=sched, clip_norm=1e-3)
+    opt = adamw_init(params)
+    p1, opt, _ = step(params, opt, toks)
+    d1 = global_norm(jax.tree.map(
+        lambda a, b: a.astype(jnp.float32) - b.astype(jnp.float32),
+        p1, params))
+    p2, opt, _ = step(p1, opt, toks)
+    d2 = global_norm(jax.tree.map(
+        lambda a, b: a.astype(jnp.float32) - b.astype(jnp.float32),
+        p2, p1))
+    # warmup: step 2 moves further than step 1 (lr 1/4 -> 2/4 of peak)
+    assert float(d2) > float(d1) * 1.5
+    assert np.isfinite(float(d1)) and float(d1) > 0
