@@ -34,6 +34,9 @@ class AdamWState:
     count: jnp.ndarray   # scalar int32
     mu: Any              # f32 pytree, params-shaped (ZeRO-1 sharded)
     nu: Any              # f32 pytree, params-shaped (ZeRO-1 sharded)
+    # mixed precision: f32 master copy of the params (ZeRO-sharded);
+    # None when the params train in f32 directly
+    master: Any = None
 
 
 def zero1_specs(param_specs, params, mesh: Mesh, data_axis: str = "data"):
@@ -56,18 +59,30 @@ def zero1_specs(param_specs, params, mesh: Mesh, data_axis: str = "data"):
 
 
 def adamw_init(params, param_specs=None, mesh: Optional[Mesh] = None,
-               data_axis: str = "data") -> AdamWState:
+               data_axis: str = "data",
+               master_weights: bool = False) -> AdamWState:
     """Zero moments (f32).  With `mesh`+`param_specs`, moments are laid
-    out ZeRO-1-sharded from the start (no replicated spike)."""
+    out ZeRO-1-sharded from the start (no replicated spike).
+
+    master_weights=True keeps an f32 master copy of the params in the
+    state (ZeRO-sharded like the moments): the update applies to the
+    master and the low-precision params are re-derived each step, so
+    sub-lsb bf16 updates accumulate instead of vanishing."""
     zeros = jax.tree.map(
         lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    master = (jax.tree.map(lambda p: p.astype(jnp.float32), params)
+              if master_weights else None)
     if mesh is not None and param_specs is not None:
         specs = zero1_specs(param_specs, params, mesh, data_axis)
-        zeros = jax.tree.map(
-            lambda z, s: jax.device_put(z, NamedSharding(mesh, s)),
-            zeros, specs, is_leaf=lambda x: isinstance(x, P))
+        put = lambda z, s: jax.device_put(z, NamedSharding(mesh, s))
+        zeros = jax.tree.map(put, zeros, specs,
+                             is_leaf=lambda x: isinstance(x, P))
+        if master is not None:
+            master = jax.tree.map(put, master, specs,
+                                  is_leaf=lambda x: isinstance(x, P))
     return AdamWState(count=jnp.zeros((), jnp.int32), mu=zeros,
-                      nu=jax.tree.map(lambda z: z, zeros))
+                      nu=jax.tree.map(lambda z: z, zeros),
+                      master=master)
 
 
 def global_norm(tree) -> jnp.ndarray:
@@ -149,15 +164,26 @@ def make_adamw_train_step(model, cfg, mesh: Optional[Mesh] = None,
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
 
-        def upd(p, m, v):
+        def upd(base, m, v):
             u = (m / c1) / (jnp.sqrt(v / c2) + eps)
             if weight_decay:
-                u = u + weight_decay * p.astype(jnp.float32)
-            return (p.astype(jnp.float32) - lr_t * u).astype(p.dtype)
+                u = u + weight_decay * base.astype(jnp.float32)
+            return base.astype(jnp.float32) - lr_t * u
 
+        if opt.master is not None:
+            # mixed precision: update the f32 master (stays ZeRO-
+            # sharded), re-derive the low-precision params from it
+            master = constrain(
+                jax.tree.map(upd, opt.master, mu, nu), z_specs)
+            params = constrain(
+                jax.tree.map(lambda mp, p: mp.astype(p.dtype),
+                             master, params), p_specs)
+            return params, AdamWState(count, mu, nu, master), loss
         # pinning params back to their (data-replicated) TP specs is
         # the ZeRO-1 all-gather of the sharded update
-        params = constrain(jax.tree.map(upd, params, mu, nu), p_specs)
+        params = constrain(
+            jax.tree.map(lambda p, m, v: upd(p, m, v).astype(p.dtype),
+                         params, mu, nu), p_specs)
         return params, AdamWState(count, mu, nu), loss
 
     return jax.jit(step)

@@ -144,3 +144,53 @@ def test_clip_and_schedule():
     # warmup: step 2 moves further than step 1 (lr 1/4 -> 2/4 of peak)
     assert float(d2) > float(d1) * 1.5
     assert np.isfinite(float(d1)) and float(d1) > 0
+
+
+def test_master_weights_beat_bf16_updates():
+    """bf16 params with an f32 master: tiny (sub-bf16-lsb) updates
+    accumulate in the master instead of vanishing, and the sharded
+    master matches the single-device master run."""
+    bf_cfg = llama.LlamaConfig.tiny(n_heads=4, n_kv_heads=2, dim=128,
+                                    hidden_dim=256, n_layers=2,
+                                    dtype=jnp.bfloat16)
+    params0 = llama.init_params(bf_cfg, jax.random.key(4))
+    toks = _tokens()
+    lr = 1e-6  # far below the bf16 ulp of O(1) weights
+
+    p_plain, o_plain = params0, adamw_init(params0)
+    step_plain = make_adamw_train_step(llama, bf_cfg, lr=lr)
+    p_master, o_master = params0, adamw_init(params0,
+                                             master_weights=True)
+    step_master = make_adamw_train_step(llama, bf_cfg, lr=lr)
+    for _ in range(8):
+        p_plain, o_plain, _ = step_plain(p_plain, o_plain, toks)
+        p_master, o_master, _ = step_master(p_master, o_master, toks)
+
+    def drift(a, b):
+        return float(global_norm(jax.tree.map(
+            lambda x, y: x.astype(jnp.float32) - y.astype(jnp.float32),
+            a, b)))
+
+    from aule_tpu.parallel.optimizer import global_norm
+    # the master moved even though bf16 params may round-trip; its
+    # accumulated drift exceeds what the bf16-only path retained
+    assert drift(o_master.master, jax.tree.map(
+        lambda p: p.astype(jnp.float32), params0)) > 0.0
+    # sharded master run == single-device master run
+    mesh = make_mesh((4, 2), ("data", "model"))
+    specs = llama.param_specs(bf_cfg)
+    from jax.sharding import NamedSharding
+    ps = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params0, specs, is_leaf=lambda x: isinstance(x, P))
+    opt = adamw_init(ps, specs, mesh, master_weights=True)
+    step = make_adamw_train_step(llama, bf_cfg, mesh, lr=lr)
+    for _ in range(8):
+        ps, opt, _ = step(ps, opt, toks)
+    m_specs = [tuple(x.sharding.spec) for x in
+               jax.tree.leaves(opt.master)]
+    assert any("data" in s for s in m_specs)
+    for a, b in zip(jax.tree.leaves(opt.master),
+                    jax.tree.leaves(o_master.master)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4)
