@@ -111,3 +111,33 @@ def test_engine_checkpoint_preserves_sampling_params(tmp_path):
     load_engine_state(eng2, str(tmp_path / "ck"))
     got = [r.output for r in eng2.run()]
     assert got == want, (got, want)
+
+
+def test_ml_dtypes_round_trip_bit_exact(tmp_path):
+    """bfloat16/float8 leaves survive the npz round trip bit-exactly
+    (numpy would otherwise degrade them to void '|V2' records)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aule_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "bf16": jnp.asarray(rng.standard_normal((4, 8)), jnp.bfloat16),
+        "fp8": jnp.asarray(rng.standard_normal((4, 8)),
+                           jnp.float8_e4m3fn),
+        "f32": jnp.asarray(rng.standard_normal((3,)), jnp.float32),
+        "i8": jnp.asarray(rng.integers(-5, 5, (2, 2)), jnp.int8),
+    }
+    path = str(tmp_path / "mlq")
+    save_pytree(path, tree)
+    out = load_pytree(path, tree)
+    for k in tree:
+        assert np.dtype(out[k].dtype) == np.dtype(tree[k].dtype), k
+        np.testing.assert_array_equal(
+            np.asarray(out[k]).view(np.uint8),
+            np.asarray(tree[k]).view(np.uint8), err_msg=k)
+    # jit accepts the restored leaves
+    s = jax.jit(lambda t: t["bf16"].astype(jnp.float32).sum())(
+        jax.tree.map(jnp.asarray, out))
+    assert np.isfinite(float(s))
