@@ -106,6 +106,10 @@ class Request:
     # output's tail equals any of them (the stop tokens stay in the
     # output, like eos); eos_id is the one-token special case
     stop: List[List[int]] = dataclasses.field(default_factory=list)
+    # OpenAI-style logit_bias {token_id: additive bias}: applied to the
+    # logits BEFORE argmax/sampling (ban tokens with a large negative
+    # bias, force with a large positive one).  logprobs stay raw-model.
+    logit_bias: Optional[Dict[int, float]] = None
 
     def _emit(self, tok: int, logp: Optional[float] = None) -> None:
         self.output.append(tok)
@@ -482,11 +486,18 @@ class ServingEngine:
                on_token: Optional[Callable[[int, int], None]] = None,
                temperature: float = 0.0, top_k: int = 0,
                top_p: float = 0.0, logprobs: bool = False,
-               stop=None) -> int:
+               stop=None, logit_bias: Optional[Dict[int, float]] = None
+               ) -> int:
         prompt = np.asarray(prompt, np.int32)
         stop = [[int(t) for t in s] for s in (stop or [])]
         if any(not s for s in stop):
             raise ValueError("stop sequences must be non-empty")
+        if logit_bias:
+            logit_bias = {int(k): float(v) for k, v in logit_bias.items()}
+            v = self.cfg.vocab_size
+            if any(not 0 <= t < v for t in logit_bias):
+                raise ValueError(f"logit_bias token ids must be in "
+                                 f"[0, {v})")
         if prompt.size == 0:
             raise ValueError("empty prompt: nothing to prefill")
         # Admission is all-or-nothing: a request whose worst-case length
@@ -517,7 +528,8 @@ class ServingEngine:
         req = Request(self._next_id, prompt, max_new_tokens, eos_id,
                       on_token=on_token, temperature=float(temperature),
                       top_k=int(top_k), top_p=float(top_p),
-                      want_logprobs=bool(logprobs), stop=stop)
+                      want_logprobs=bool(logprobs), stop=stop,
+                      logit_bias=logit_bias or None)
         self._next_id += 1
         self.waiting.append(req)
         return req.req_id
@@ -653,7 +665,8 @@ class ServingEngine:
             jnp.asarray(catchup), jnp.asarray(clen),
             jnp.asarray(self.slot_dlens), jnp.asarray(self.slot_lens),
             self._block_table(), self.k_pages, self.k_scales,
-            self.dk_pages, self.dk_scales, jnp.asarray(active), want_lp)
+            self.dk_pages, self.dk_scales, jnp.asarray(active), want_lp,
+            self._bias_matrix())
         self.spec_rounds += 1
         a, n_emit, m = np.asarray(a), np.asarray(n_emit), np.asarray(m)
         lp = np.asarray(lp) if lp is not None else None
@@ -904,7 +917,7 @@ class ServingEngine:
 
     def _spec_step(self, catchup, catchup_len, dlens, lens, bt,
                    k_pages, k_scales, dk_pages, dk_scales, active,
-                   want_lp=None):
+                   want_lp=None, bias=None):
         """jit'd: one speculative round for the whole batch.
 
         catchup [B, K+1] holds the committed tokens at positions
@@ -991,7 +1004,9 @@ class ServingEngine:
                 self.rope_cos, self.rope_sin, all_logits=True,
                 mesh=self.mesh, model_axis=self.model_axis)
             k_pages = jnp.stack(kvs)
-        a = jnp.argmax(logits, -1).astype(jnp.int32)    # [B, K+1]
+        biased = (logits + bias[:, None, :] if bias is not None
+                  else logits)
+        a = jnp.argmax(biased, -1).astype(jnp.int32)    # [B, K+1]
         if want_lp is not None:
             lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             lp = jnp.take_along_axis(lsm, a[..., None], axis=-1)[..., 0]
@@ -1002,7 +1017,7 @@ class ServingEngine:
         return a, lp, m + 1, m, k_pages, k_scales, dk_pages, dk_scales
 
     def _ngram_verify(self, t, g, lens, bt, k_pages, k_scales, active,
-                      want_lp=None):
+                      want_lp=None, bias=None):
         """jit'd: the target-verify half of a speculative round, for
         prompt-lookup mode (no draft model): ONE chunked prefill over
         [t, g_0..g_{K-1}] with per-position logits; acceptance exactly
@@ -1026,7 +1041,9 @@ class ServingEngine:
                 self.rope_cos, self.rope_sin, all_logits=True,
                 mesh=self.mesh, model_axis=self.model_axis)
             k_pages = jnp.stack(kvs)
-        a = jnp.argmax(logits, -1).astype(jnp.int32)
+        biased = (logits + bias[:, None, :] if bias is not None
+                  else logits)
+        a = jnp.argmax(biased, -1).astype(jnp.int32)
         if want_lp is not None:
             lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             lp = jnp.take_along_axis(lsm, a[..., None], axis=-1)[..., 0]
@@ -1099,7 +1116,7 @@ class ServingEngine:
         (a, lp, n_emit, m, self.k_pages, self.k_scales) = self._ngram_jit(
             jnp.asarray(t), jnp.asarray(g), jnp.asarray(self.slot_lens),
             self._block_table(), self.k_pages, self.k_scales,
-            jnp.asarray(active), want_lp)
+            jnp.asarray(active), want_lp, self._bias_matrix())
         self.spec_rounds += 1
         a, n_emit, m = np.asarray(a), np.asarray(n_emit), np.asarray(m)
         lp = np.asarray(lp) if lp is not None else None
@@ -1175,7 +1192,8 @@ class ServingEngine:
                         self.dk_pages, self.dk_scales)
             self.slot_dlens[slot] = n
         tok, logp = self._host_sample(
-            logits[0], req.temperature, req.top_k, req.top_p)
+            logits[0], req.temperature, req.top_k, req.top_p,
+            req.logit_bias)
         self.tokens_generated += 1
         req._emit(int(tok), logp)
         if self.slots[slot] is not req:
@@ -1232,7 +1250,8 @@ class ServingEngine:
                 pad_len=pad_len)
             self.slot_dlens[slot] = n
         tok, logp = self._host_sample(logits[0, n - 1], req.temperature,
-                                      req.top_k, req.top_p)
+                                      req.top_k, req.top_p,
+                                      req.logit_bias)
         self.tokens_generated += 1
         req._emit(int(tok), logp)
         if self.slots[slot] is not req:
@@ -1240,7 +1259,26 @@ class ServingEngine:
         if req.done:
             self._retire(slot)
 
-    def _sample_dev(self, logits, key, temps=None, tks=None, tps=None):
+    def _bias_matrix(self):
+        """[B, V] additive logit bias, or None when no running request
+        set one (the common executable never pays the add)."""
+        if not any(r is not None and r.logit_bias for r in self.slots):
+            return None
+        b = np.zeros((self.max_batch, self.cfg.vocab_size), np.float32)
+        for s, r in enumerate(self.slots):
+            if r is not None and r.logit_bias:
+                for t, v in r.logit_bias.items():
+                    b[s, t] = v
+        return jnp.asarray(b)
+
+    def _sample_dev(self, logits, key, temps=None, tks=None, tps=None,
+                    bias=None):
+        if bias is not None:
+            logits = logits.astype(jnp.float32) + bias
+        return self._sample_dev_inner(logits, key, temps, tks, tps)
+
+    def _sample_dev_inner(self, logits, key, temps=None, tks=None,
+                          tps=None):
         """In-jit sampling: engine-level PRNG sampler when configured;
         otherwise per-request (temperature, top_k, top_p) — submit()'s
         knobs — falling back to the legacy callable.
@@ -1264,9 +1302,16 @@ class ServingEngine:
         return self.sample(logits)
 
     def _host_sample(self, logits, temperature: float = 0.0,
-                     top_k: int = 0, top_p: float = 0.0):
+                     top_k: int = 0, top_p: float = 0.0,
+                     logit_bias: Optional[Dict[int, float]] = None):
         """Host-side sampling (prefill's first token).  Returns
         (token, raw-distribution logprob of that token)."""
+        raw = logits
+        if logit_bias:
+            vec = np.zeros((logits.shape[-1],), np.float32)
+            for t, v in logit_bias.items():
+                vec[t] = v
+            logits = logits.astype(jnp.float32) + jnp.asarray(vec)
         if self._sampler is not None:
             self._rng, sub = jax.random.split(self._rng)
             tok = self._sampler(logits, sub)
@@ -1281,13 +1326,13 @@ class ServingEngine:
             tok = jax.random.categorical(sub, scaled[0], axis=-1)
         else:
             tok = self.sample(logits)
-        logp = _chosen_logprob(jnp.asarray(logits)[None],
+        logp = _chosen_logprob(jnp.asarray(raw)[None],
                                jnp.asarray(tok).reshape(1))[0]
         return tok, logp
 
     def _decode_step(self, tokens, positions, bt, lens, k_pages, v_pages,
                      k_scales, v_scales, key, temps, tks=None, tps=None,
-                     want_lp=None):
+                     want_lp=None, bias=None):
         # want_lp rides as None (a static pytree shape) unless some
         # running request asked for logprobs — the common executable
         # skips the vocab-wide log_softmax + host logp transfer entirely
@@ -1304,14 +1349,14 @@ class ServingEngine:
                     self.cfg, self.rope_cos, self.rope_sin,
                     kv_scales=[k_scales[i] for i in range(L)],
                     mesh=self.mesh, model_axis=self.model_axis)
-                nxt = self._sample_dev(logits, key, temps, tks, tps)
+                nxt = self._sample_dev(logits, key, temps, tks, tps, bias)
                 return (nxt, lp(logits, nxt), jnp.stack(kvs),
                         v_pages, new_lens, jnp.stack(scs), v_scales)
             logits, kvs, new_lens = self.model.decode_step_fused(
                 self.params, tokens, positions, pools, bt, lens,
                 self.cfg, self.rope_cos, self.rope_sin,
                 mesh=self.mesh, model_axis=self.model_axis)
-            nxt = self._sample_dev(logits, key, temps, tks, tps)
+            nxt = self._sample_dev(logits, key, temps, tks, tps, bias)
             return (nxt, lp(logits, nxt), jnp.stack(kvs),
                     v_pages, new_lens, k_scales, v_scales)
         if self.quantized:
@@ -1323,7 +1368,7 @@ class ServingEngine:
                 k_scales=[k_scales[i] for i in range(L)],
                 v_scales=[v_scales[i] for i in range(L)],
                 mesh=self.mesh, model_axis=self.model_axis)
-            next_tokens = self._sample_dev(logits, key, temps, tks, tps)
+            next_tokens = self._sample_dev(logits, key, temps, tks, tps, bias)
             return (next_tokens, lp(logits, next_tokens),
                     jnp.stack(kps), jnp.stack(vps), new_lens,
                     jnp.stack(kss), jnp.stack(vss))
@@ -1333,20 +1378,21 @@ class ServingEngine:
             [v_pages[i] for i in range(L)],
             bt, lens, self.cfg, self.rope_cos, self.rope_sin,
             mesh=self.mesh, model_axis=self.model_axis)
-        next_tokens = self._sample_dev(logits, key, temps, tks, tps)
+        next_tokens = self._sample_dev(logits, key, temps, tks, tps, bias)
         return (next_tokens, lp(logits, next_tokens),
                 jnp.stack(kps), jnp.stack(vps), new_lens,
                 k_scales, v_scales)
 
     def _decode_multi(self, tokens, positions, bt, lens, k_pages, v_pages,
                       k_scales, v_scales, key, temps, tks=None, tps=None,
-                      want_lp=None, *, n_steps):
+                      want_lp=None, bias=None, *, n_steps):
         """jit'd: n_steps decode steps in one dispatch (lax.scan)."""
         def body(carry, t):
             tok, pos, ln, kp, vp, ks, vs = carry
             nxt, logp, kp, vp, new_ln, ks, vs = self._decode_step(
                 tok, pos, bt, ln, kp, vp, ks, vs,
-                jax.random.fold_in(key, t), temps, tks, tps, want_lp)
+                jax.random.fold_in(key, t), temps, tks, tps, want_lp,
+                bias)
             return (nxt, pos + 1, new_ln, kp, vp, ks, vs), (nxt, logp)
 
         init = (tokens, positions, lens, k_pages, v_pages,
@@ -1381,6 +1427,7 @@ class ServingEngine:
         want_lp = (jnp.zeros((), jnp.int32) if any(
             r is not None and r.want_logprobs for r in self.slots)
             else None)
+        bias = self._bias_matrix()
         k = self.decode_steps
         multi = (k > 1 and not self.waiting and remaining
                  and min(remaining) >= k)
@@ -1389,7 +1436,7 @@ class ServingEngine:
              self.k_scales, self.v_scales) = self._decode_multi_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
-                step_key, temps, tks, tps, want_lp, n_steps=k)
+                step_key, temps, tks, tps, want_lp, bias, n_steps=k)
             next_np = np.asarray(toks)  # [k, max_batch]
             logp_np = np.asarray(logps) if logps is not None else None
         else:
@@ -1397,7 +1444,7 @@ class ServingEngine:
              self.k_scales, self.v_scales) = self._decode_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
-                step_key, temps, tks, tps, want_lp)
+                step_key, temps, tks, tps, want_lp, bias)
             next_np = np.asarray(next_tokens)[None]
             logp_np = (np.asarray(logps)[None] if logps is not None
                        else None)
@@ -1464,7 +1511,8 @@ def save_engine_state(eng: "ServingEngine", path: str) -> None:
             "cancelled": r.cancelled,
             "want_logprobs": r.want_logprobs,
             "logprobs": list(r.logprobs),
-            "stop": [list(s) for s in r.stop]}
+            "stop": [list(s) for s in r.stop],
+            "logit_bias": r.logit_bias}
 
     host = {
         "slots": [req(r) for r in eng.slots],
@@ -1533,7 +1581,10 @@ def load_engine_state(eng: "ServingEngine", path: str) -> None:
                     top_k=d.get("top_k", 0), top_p=d.get("top_p", 0.0),
                     cancelled=d.get("cancelled", False),
                     want_logprobs=d.get("want_logprobs", False),
-                    stop=[list(s) for s in d.get("stop", [])])
+                    stop=[list(s) for s in d.get("stop", [])],
+                    logit_bias=({int(k): v for k, v in
+                                 d["logit_bias"].items()}
+                                if d.get("logit_bias") else None))
         r.output.extend(d["output"])
         r.logprobs.extend(d.get("logprobs", []))
         return r

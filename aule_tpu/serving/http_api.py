@@ -115,6 +115,10 @@ class ServingHTTPServer:
                             top_p=float(body.get("top_p", 0.0)),
                             logprobs=bool(body.get("logprobs", False)),
                             stop=body.get("stop"),
+                            logit_bias=({int(k): float(v) for k, v in
+                                         body["logit_bias"].items()}
+                                        if body.get("logit_bias")
+                                        else None),
                             on_token=(
                                 (lambda _rid, tok:
                                  pend.stream_q.put(tok)) if stream
