@@ -667,24 +667,33 @@ class ServingEngine:
             self._block_table(), self.k_pages, self.k_scales,
             self.dk_pages, self.dk_scales, jnp.asarray(active), want_lp,
             self._bias_matrix())
-        self.spec_rounds += 1
+        for s, (lens_old, _, m_s, retired) in self._commit_round(
+                a, lp, n_emit, m, k).items():
+            if not retired:
+                # draft KV exists for t and accepted g_0..g_{min(m,K-1)-1}
+                # (the decode scan appends only K-1 of the K candidates)
+                self.slot_dlens[s] = lens_old + 1 + min(m_s, k - 1)
+
+    def _commit_round(self, a, lp, n_emit, m, k, counted=None):
+        """Shared spec-round commit (draft-based and prompt-lookup):
+        emit each slot's agreed prefix + 1 (trimming on done/cancel like
+        multi-step decode; the cache's overshoot past eos is hidden by
+        context_len and overwritten by the next append), update lens,
+        fold acceptance counters, and run the adaptive-disable check.
+        counted[s]=False slots emit but don't count toward acceptance
+        (prompt-lookup slots that had no candidate this round).
+        Returns {slot: (lens_old, emitted, m, retired)}."""
         a, n_emit, m = np.asarray(a), np.asarray(n_emit), np.asarray(m)
         lp = np.asarray(lp) if lp is not None else None
-        if (self.spec_min_acceptance > 0.0 and self.spec_rounds >= 8
-                and (self.spec_accepted / max(self.spec_drafted, 1))
-                < self.spec_min_acceptance):
-            self._spec_disabled = True
-            logger.info(
-                "speculative decoding disabled: acceptance %.3f < %.3f "
-                "after %d rounds (plain multi-step decode is faster)",
-                self.spec_accepted / max(self.spec_drafted, 1),
-                self.spec_min_acceptance, self.spec_rounds)
+        self.spec_rounds += 1
+        info: Dict[int, tuple] = {}
         for s, req in enumerate(self.slots):
             if req is None:
                 continue
             lens_old = int(self.slot_lens[s])
-            self.spec_drafted += k
-            self.spec_accepted += int(m[s])
+            if counted is None or counted[s]:
+                self.spec_drafted += k
+                self.spec_accepted += int(m[s])
             emitted = 0
             for j in range(int(n_emit[s])):
                 self.tokens_generated += 1
@@ -692,20 +701,26 @@ class ServingEngine:
                           lp[s, j] if lp is not None else None)
                 emitted += 1
                 if self.slots[s] is not req:
-                    break
+                    break  # cancel() from the callback retired it
                 if req.done:
                     break
-            if self.slots[s] is not req:
-                continue  # cancel() from the on_token callback retired it
-            if req.done:
-                # cache holds a few garbage tokens past eos; the request
-                # retires and frees its pages, same as multi-step decode
+            retired = self.slots[s] is not req
+            if not retired and req.done:
                 self._retire(s)
-            else:
+                retired = True
+            if not retired:
                 self.slot_lens[s] = lens_old + emitted
-                # draft KV exists for t and accepted g_0..g_{min(m,K-1)-1}
-                # (the decode scan appends only K-1 of the K candidates)
-                self.slot_dlens[s] = lens_old + 1 + min(int(m[s]), k - 1)
+            info[s] = (lens_old, emitted, int(m[s]), retired)
+        if (self.spec_min_acceptance > 0.0 and self.spec_rounds >= 8
+                and (self.spec_accepted / max(self.spec_drafted, 1))
+                < self.spec_min_acceptance):
+            self._spec_disabled = True
+            logger.info(
+                "speculation disabled: acceptance %.3f < %.3f after %d "
+                "rounds (plain multi-step decode is faster)",
+                self.spec_accepted / max(self.spec_drafted, 1),
+                self.spec_min_acceptance, self.spec_rounds)
+        return info
 
     def _prompt_page_hashes(self, prompt) -> List[str]:
         """Chained content hashes of the prompt's FULL pages."""
@@ -987,6 +1002,18 @@ class ServingEngine:
         t = jnp.take_along_axis(
             catchup, jnp.maximum(catchup_len - 1, 0)[:, None], axis=1)
         chunk = jnp.concatenate([t, g], axis=1)  # [B, K+1]
+        a, lp, n_emit, m, k_pages, k_scales = self._verify_chunk(
+            chunk, lens, bt, k_pages, k_scales, active, want_lp, bias)
+        return a, lp, n_emit, m, k_pages, k_scales, dk_pages, dk_scales
+
+    def _verify_chunk(self, chunk, lens, bt, k_pages, k_scales, active,
+                      want_lp, bias):
+        """jit-traceable target verify shared by both speculation modes:
+        ONE chunked prefill over chunk = [t, g_0..g_{K-1}] with
+        per-position logits; a_i = BIASED argmax (what plain decode
+        would emit), m = longest prefix with a_i == g_i, n_emit = m+1;
+        logprobs (when asked) stay raw-model."""
+        K = chunk.shape[1] - 1
         vlen = jnp.where(active, K + 1, 0).astype(jnp.int32)
         lt = self.cfg.n_layers
         pools = [k_pages[i] for i in range(lt)]
@@ -1012,46 +1039,17 @@ class ServingEngine:
             lp = jnp.take_along_axis(lsm, a[..., None], axis=-1)[..., 0]
         else:
             lp = None
-        match = (a[:, :K] == g).astype(jnp.int32)
+        match = (a[:, :K] == chunk[:, 1:]).astype(jnp.int32)
         m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
-        return a, lp, m + 1, m, k_pages, k_scales, dk_pages, dk_scales
+        return a, lp, m + 1, m, k_pages, k_scales
 
     def _ngram_verify(self, t, g, lens, bt, k_pages, k_scales, active,
                       want_lp=None, bias=None):
         """jit'd: the target-verify half of a speculative round, for
-        prompt-lookup mode (no draft model): ONE chunked prefill over
-        [t, g_0..g_{K-1}] with per-position logits; acceptance exactly
-        as in _spec_step."""
-        K = self.ngram_spec
+        prompt-lookup mode (no draft model)."""
         chunk = jnp.concatenate([t[:, None], g], axis=1)  # [B, K+1]
-        vlen = jnp.where(active, K + 1, 0).astype(jnp.int32)
-        lt = self.cfg.n_layers
-        pools = [k_pages[i] for i in range(lt)]
-        if self.quantized:
-            logits, kvs, _, scs = self.model.prefill_step_fused(
-                self.params, chunk, lens, vlen, pools, bt, self.cfg,
-                self.rope_cos, self.rope_sin,
-                kv_scales=[k_scales[i] for i in range(lt)],
-                all_logits=True, mesh=self.mesh,
-                model_axis=self.model_axis)
-            k_pages, k_scales = jnp.stack(kvs), jnp.stack(scs)
-        else:
-            logits, kvs, _ = self.model.prefill_step_fused(
-                self.params, chunk, lens, vlen, pools, bt, self.cfg,
-                self.rope_cos, self.rope_sin, all_logits=True,
-                mesh=self.mesh, model_axis=self.model_axis)
-            k_pages = jnp.stack(kvs)
-        biased = (logits + bias[:, None, :] if bias is not None
-                  else logits)
-        a = jnp.argmax(biased, -1).astype(jnp.int32)
-        if want_lp is not None:
-            lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            lp = jnp.take_along_axis(lsm, a[..., None], axis=-1)[..., 0]
-        else:
-            lp = None
-        match = (a[:, :K] == g).astype(jnp.int32)
-        m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
-        return a, lp, m + 1, m, k_pages, k_scales
+        return self._verify_chunk(chunk, lens, bt, k_pages, k_scales,
+                                  active, want_lp, bias)
 
     def _ngram_eligible(self) -> bool:
         if self.ngram_spec <= 0 or self._spec_disabled or self.waiting:
@@ -1096,7 +1094,7 @@ class ServingEngine:
         b = self.max_batch
         g = np.zeros((b, k), np.int32)
         t = np.zeros((b,), np.int32)
-        any_prop = False
+        counted = np.zeros((b,), bool)  # slots with a real candidate
         for s, req in enumerate(self.slots):
             if req is None:
                 continue
@@ -1106,8 +1104,8 @@ class ServingEngine:
             prop = self._ngram_propose(seq)
             if prop is not None:
                 g[s] = prop
-                any_prop = True
-        if not any_prop:
+                counted[s] = True
+        if not counted.any():
             return False
         active = np.array([r is not None for r in self.slots])
         want_lp = (jnp.zeros((), jnp.int32) if any(
@@ -1117,40 +1115,11 @@ class ServingEngine:
             jnp.asarray(t), jnp.asarray(g), jnp.asarray(self.slot_lens),
             self._block_table(), self.k_pages, self.k_scales,
             jnp.asarray(active), want_lp, self._bias_matrix())
-        self.spec_rounds += 1
-        a, n_emit, m = np.asarray(a), np.asarray(n_emit), np.asarray(m)
-        lp = np.asarray(lp) if lp is not None else None
-        for s, req in enumerate(self.slots):
-            if req is None:
-                continue
-            lens_old = int(self.slot_lens[s])
-            self.spec_drafted += k
-            self.spec_accepted += int(m[s])
-            emitted = 0
-            for j in range(int(n_emit[s])):
-                self.tokens_generated += 1
-                req._emit(int(a[s, j]),
-                          lp[s, j] if lp is not None else None)
-                emitted += 1
-                if self.slots[s] is not req:
-                    break
-                if req.done:
-                    break
-            if self.slots[s] is not req:
-                continue  # cancel() from the callback retired it
-            if req.done:
-                self._retire(s)
-            else:
-                self.slot_lens[s] = lens_old + emitted
-        if (self.spec_min_acceptance > 0.0 and self.spec_rounds >= 8
-                and (self.spec_accepted / max(self.spec_drafted, 1))
-                < self.spec_min_acceptance):
-            self._spec_disabled = True
-            logger.info(
-                "prompt-lookup decoding disabled: acceptance %.3f < "
-                "%.3f after %d rounds", self.spec_accepted
-                / max(self.spec_drafted, 1), self.spec_min_acceptance,
-                self.spec_rounds)
+        # no-candidate slots still commit >= 1 token (the verify's a_0
+        # is the target's own next token) but don't count toward
+        # acceptance — their zero-filled 'drafts' would skew the rate
+        # and could spuriously trip the adaptive disable
+        self._commit_round(a, lp, n_emit, m, k, counted=counted)
         return True
 
     def _run_prefill_chunked(self, slot: int, req: Request,
@@ -1261,15 +1230,25 @@ class ServingEngine:
 
     def _bias_matrix(self):
         """[B, V] additive logit bias, or None when no running request
-        set one (the common executable never pays the add)."""
-        if not any(r is not None and r.logit_bias for r in self.slots):
+        set one (the common executable never pays the add).  Cached on
+        the (slot, req_id) assignment — a request's bias is immutable,
+        so the dense matrix only rebuilds when slots turn over, not
+        every dispatch."""
+        key = tuple((s, r.req_id) for s, r in enumerate(self.slots)
+                    if r is not None and r.logit_bias)
+        if not key:
             return None
+        cache = getattr(self, "_bias_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
         b = np.zeros((self.max_batch, self.cfg.vocab_size), np.float32)
         for s, r in enumerate(self.slots):
             if r is not None and r.logit_bias:
                 for t, v in r.logit_bias.items():
                     b[s, t] = v
-        return jnp.asarray(b)
+        mat = jnp.asarray(b)
+        self._bias_cache = (key, mat)
+        return mat
 
     def _sample_dev(self, logits, key, temps=None, tks=None, tps=None,
                     bias=None):

@@ -60,6 +60,7 @@ class ServingHTTPServer:
     def __init__(self, engine: ServingEngine, host: str = "127.0.0.1",
                  port: int = 0):
         self.engine = engine
+        self.error: Optional[str] = None  # set when the driver dies
         self._lock = threading.Lock()
         self._pending = {}          # req_id -> _Pending
         self._wake = threading.Event()   # new work submitted
@@ -68,6 +69,11 @@ class ServingHTTPServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # chunked transfer is an HTTP/1.1 construct; the handler
+            # default of HTTP/1.0 would make proxies/spec-compliant
+            # clients read the stream raw (interleaved chunk framing)
+            protocol_version = "HTTP/1.1"
+
             # quiet: BaseHTTPRequestHandler logs every request to stderr
             def log_message(self, fmt, *args):
                 pass
@@ -85,6 +91,10 @@ class ServingHTTPServer:
                     return self._json(404, {"error": "unknown path"})
                 with outer._lock:
                     stats = outer.engine.stats()
+                if outer.error is not None:
+                    return self._json(
+                        500, {"status": "error", "error": outer.error,
+                              **stats})
                 self._json(200, {"status": "ok", **stats})
 
             def do_POST(self):
@@ -94,14 +104,21 @@ class ServingHTTPServer:
                 except (ValueError, json.JSONDecodeError) as e:
                     return self._json(400, {"error": f"bad json: {e}"})
                 if self.path == "/v1/cancel":
+                    try:
+                        rid = int(body["id"])
+                    except (KeyError, ValueError, TypeError) as e:
+                        return self._json(400, {"error": f"bad id: {e}"})
                     with outer._lock:
-                        ok = outer.engine.cancel(int(body["id"]))
+                        ok = outer.engine.cancel(rid)
                     return self._json(200, {"cancelled": ok})
                 if self.path != "/v1/completions":
                     return self._json(404, {"error": "unknown path"})
                 self._completions(body)
 
             def _completions(self, body):
+                if outer.error is not None:
+                    return self._json(
+                        503, {"error": f"engine failed: {outer.error}"})
                 stream = bool(body.get("stream", False))
                 pend = _Pending(stream)
                 try:
@@ -130,6 +147,9 @@ class ServingHTTPServer:
                 if not stream:
                     pend.event.wait()
                     r = pend.request
+                    if r is None:  # driver died mid-request
+                        return self._json(
+                            500, {"error": outer.error or "engine died"})
                     out = {"id": rid, "tokens": list(r.output),
                            "cancelled": r.cancelled}
                     if r.want_logprobs:
@@ -147,19 +167,30 @@ class ServingHTTPServer:
                                      + data + b"\r\n")
                     self.wfile.flush()
 
-                while True:
-                    try:
-                        tok = pend.stream_q.get(timeout=0.1)
-                    except queue.Empty:
-                        if pend.event.is_set() and pend.stream_q.empty():
-                            break
-                        continue
-                    chunk({"id": rid, "token": int(tok)})
-                pend.event.wait()
-                chunk({"id": rid, "done": True,
-                       "cancelled": pend.request.cancelled})
-                self.wfile.write(b"0\r\n\r\n")
-                self.wfile.flush()
+                try:
+                    while True:
+                        try:
+                            tok = pend.stream_q.get(timeout=0.1)
+                        except queue.Empty:
+                            if pend.event.is_set() \
+                                    and pend.stream_q.empty():
+                                break
+                            continue
+                        chunk({"id": rid, "token": int(tok)})
+                    pend.event.wait()
+                    r = pend.request
+                    chunk({"id": rid, "done": True,
+                           "cancelled": r.cancelled if r is not None
+                           else True,
+                           **({"error": outer.error} if r is None
+                              else {})})
+                    self.wfile.write(b"0\r\n\r\n")
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    # client went away mid-stream: free its batch slot
+                    # and KV pages instead of generating to max_tokens
+                    with outer._lock:
+                        outer.engine.cancel(rid)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
@@ -192,11 +223,23 @@ class ServingHTTPServer:
 
     def _drive(self) -> None:
         while not self._stop.is_set():
-            with self._lock:
-                busy = self.engine.has_work()
-                if busy:
-                    self.engine.step()
-                done, self.engine.finished = self.engine.finished, []
+            try:
+                with self._lock:
+                    busy = self.engine.has_work()
+                    if busy:
+                        self.engine.step()
+                    done, self.engine.finished = \
+                        self.engine.finished, []
+            except Exception as e:  # noqa: BLE001 — the engine died;
+                # fail every waiter loudly instead of hanging them and
+                # flip /health to error (a silently dead server is the
+                # worst failure mode for a load balancer)
+                self.error = repr(e)
+                for pend in list(self._pending.values()):
+                    pend.request = None
+                    pend.event.set()
+                self._pending.clear()
+                return
             for r in done:
                 pend = self._pending.pop(r.req_id, None)
                 if pend is not None:

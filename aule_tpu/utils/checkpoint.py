@@ -64,6 +64,12 @@ def load_pytree(path: str, template: Any) -> Any:
         leaves = [a.view(np.dtype(getattr(ml_dtypes, dt)))
                   if dt in _VIEW_AS else a
                   for a, dt in zip(leaves, dtypes)]
+    elif any(a.dtype.kind == "V" for a in leaves):
+        raise ValueError(
+            f"{path}: legacy checkpoint (no dtypes sidecar) contains "
+            f"void-dtype leaves — it was written with bfloat16/float8 "
+            f"arrays by a save_pytree that degraded them; the original "
+            f"dtype is unrecoverable, re-save from the source arrays")
     t_leaves, treedef = jax.tree.flatten(template)
     if len(t_leaves) != len(leaves):
         raise ValueError(

@@ -141,3 +141,28 @@ def test_ml_dtypes_round_trip_bit_exact(tmp_path):
     s = jax.jit(lambda t: t["bf16"].astype(jnp.float32).sum())(
         jax.tree.map(jnp.asarray, out))
     assert np.isfinite(float(s))
+
+
+def test_legacy_void_checkpoint_rejected(tmp_path):
+    """A pre-fix checkpoint whose bf16 leaves were degraded to void
+    records fails loudly at load (not with a distant dtype error)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from aule_tpu.utils.checkpoint import (
+        _tree_path,
+        load_pytree,
+        save_pytree,
+    )
+
+    del save_pytree  # the LEGACY writer is what we simulate
+    tree = {"w": jnp.ones((2, 2), jnp.bfloat16)}
+    path = str(tmp_path / "legacy")
+    # pre-fix writer: np.savez degraded bf16 to a void record and the
+    # sidecar carried no dtypes
+    np.savez(path + ".npz", leaf_0=np.asarray(tree["w"]))
+    with open(_tree_path(path), "w") as f:
+        json.dump({"num_leaves": 1}, f)
+    with pytest.raises(ValueError, match="legacy checkpoint"):
+        load_pytree(path, tree)

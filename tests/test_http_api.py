@@ -125,3 +125,81 @@ def test_cancel_endpoint(params):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=60)
         assert ei.value.code == 400
+
+
+def test_driver_death_fails_loudly(params):
+    """An exception inside engine.step() must not leave clients hanging:
+    in-flight requests get a 500, new ones a 503, /health flips to
+    error (code-review r3 finding: silently dead server)."""
+    import threading
+
+    eng = make_engine(params)
+    boom = RuntimeError("injected device failure")
+
+    def bad_step():
+        raise boom
+
+    with ServingHTTPServer(eng) as srv:
+        eng.step = bad_step
+        rng = np.random.default_rng(4)
+        prompt = rng.integers(0, 256, size=5).astype(np.int32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/completions",
+            data=json.dumps({"prompt": prompt.tolist(),
+                             "max_tokens": 4}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=120)
+        assert ei.value.code == 500
+        # subsequent requests are rejected immediately
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 503
+        # health reports the failure
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/health", timeout=60)
+        assert ei.value.code == 500
+        assert "injected" in json.loads(ei.value.read())["error"]
+
+
+def test_cancel_endpoint_bad_input(params):
+    with ServingHTTPServer(make_engine(params)) as srv:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/cancel",
+            data=json.dumps({}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+
+
+def test_streaming_disconnect_cancels(params):
+    """Closing the connection mid-stream frees the request's slot and
+    pages instead of generating to max_tokens."""
+    import http.client
+    import time
+
+    with ServingHTTPServer(make_engine(params)) as srv:
+        rng = np.random.default_rng(5)
+        prompt = rng.integers(0, 256, size=6).astype(np.int32)
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                          timeout=120)
+        conn.request("POST", "/v1/completions",
+                     json.dumps({"prompt": prompt.tolist(),
+                                 "max_tokens": 200, "stream": True}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        resp.readline()  # one token arrived; the request is running
+        conn.close()     # client disconnect
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            health = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/health",
+                timeout=60).read())
+            if health["running"] == 0 and health["waiting"] == 0:
+                break
+            time.sleep(0.5)
+        else:
+            pytest.fail("orphaned stream still running after 240s")
+        assert health["tokens_generated"] < 200
