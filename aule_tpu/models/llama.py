@@ -169,6 +169,35 @@ def _make_attn_fn(cfg: LlamaConfig, mesh, data_axis: str,
                      out_specs=spec, check_vma=False)
 
 
+def _lora_proj(h, w, lora_layer, name, idx):
+    """h @ w plus a per-ROW low-rank LoRA delta h @ A_i @ B_i, where
+    row b uses adapter idx[b] from the stacked bank (multi-LoRA
+    serving: different requests in one batch run different adapters).
+
+    lora_layer[name] = (A [N, d, r], B [N, r, o]) stacked over N
+    adapters; the alpha/r scaling is expected to be folded into B at
+    registration time; an all-zeros adapter row means 'base model'.
+    h is [B, d] (decode) or [B, S, d] (prefill/verify chunks)."""
+    out = h @ w
+    if lora_layer is None or idx is None or name not in lora_layer:
+        return out
+    a, b = lora_layer[name]
+    ai = a[idx].astype(jnp.float32)      # [B, d, r]
+    bi = b[idx].astype(jnp.float32)      # [B, r, o]
+    hf = h.astype(jnp.float32)
+    if h.ndim == 2:
+        d = jnp.einsum("bd,bdr->br", hf, ai)
+        d = jnp.einsum("br,bro->bo", d, bi)
+    else:
+        d = jnp.einsum("bsd,bdr->bsr", hf, ai)
+        d = jnp.einsum("bsr,bro->bso", d, bi)
+    return out + d.astype(out.dtype)
+
+
+def _lora_at(lora, li):
+    return None if lora is None else lora["layers"][li]
+
+
 def forward(
     params: Dict[str, Any],
     tokens: jnp.ndarray,       # [B, S] int32
@@ -180,6 +209,8 @@ def forward(
     mesh=None,
     data_axis: str = "data",
     model_axis: str = "model",
+    lora=None,
+    lora_idx: Optional[jnp.ndarray] = None,
 ):
     """Causal-LM forward (prefill/training path, flash kernels).
 
@@ -195,18 +226,23 @@ def forward(
     attn_fn = _make_attn_fn(cfg, mesh, data_axis, model_axis)
     x = params["embed"][tokens]
     kv_out: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
+        ll = _lora_at(lora, li)
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = _split_heads(h @ layer["wq"], cfg.n_heads, cfg.head_dim)
-        k = _split_heads(h @ layer["wk"], cfg.n_kv_heads, cfg.head_dim)
-        v = _split_heads(h @ layer["wv"], cfg.n_kv_heads, cfg.head_dim)
+        q = _split_heads(_lora_proj(h, layer["wq"], ll, "wq", lora_idx),
+                         cfg.n_heads, cfg.head_dim)
+        k = _split_heads(_lora_proj(h, layer["wk"], ll, "wk", lora_idx),
+                         cfg.n_kv_heads, cfg.head_dim)
+        v = _split_heads(_lora_proj(h, layer["wv"], ll, "wv", lora_idx),
+                         cfg.n_kv_heads, cfg.head_dim)
         # rotate outside the kernel so training grads flow (see flash_vjp)
         q = apply_rope(q, rope_cos, rope_sin)
         k = apply_rope(k, rope_cos, rope_sin)
         if return_kv:
             kv_out.append((k, v))
         attn = attn_fn(q, k, v)
-        x = x + _merge_heads(attn) @ layer["wo"]
+        x = x + _lora_proj(_merge_heads(attn), layer["wo"], ll, "wo",
+                           lora_idx)
 
         h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
         gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
@@ -361,6 +397,8 @@ def decode_step_fused(
     kv_scales: Optional[List[jnp.ndarray]] = None,
     mesh=None,
     model_axis: str = "model",
+    lora=None,
+    lora_idx: Optional[jnp.ndarray] = None,
 ):
     """decode_step over fused-layout pools (ops/paged_fused.py) — the
     serving fast path: one DMA per page spanning K+V and all kv heads.
@@ -417,10 +455,14 @@ def decode_step_fused(
     sn = rope_sin[positions][:, None, :]
     half = cfg.head_dim // 2
     for li, layer in enumerate(params["layers"]):
+        ll = _lora_at(lora, li)
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = (h @ layer["wq"]).reshape(-1, cfg.n_heads, cfg.head_dim)
-        k = (h @ layer["wk"]).reshape(-1, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ layer["wv"]).reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+        q = _lora_proj(h, layer["wq"], ll, "wq", lora_idx).reshape(
+            -1, cfg.n_heads, cfg.head_dim)
+        k = _lora_proj(h, layer["wk"], ll, "wk", lora_idx).reshape(
+            -1, cfg.n_kv_heads, cfg.head_dim)
+        v = _lora_proj(h, layer["wv"], ll, "wv", lora_idx).reshape(
+            -1, cfg.n_kv_heads, cfg.head_dim)
         q = jnp.concatenate(
             [q[..., :half] * c - q[..., half:] * sn,
              q[..., :half] * sn + q[..., half:] * c], axis=-1).astype(q.dtype)
@@ -435,7 +477,8 @@ def decode_step_fused(
         if quantized:
             new_sc.append(sc)
         new_kv.append(kv)
-        x = x + attn.reshape(-1, cfg.n_heads * cfg.head_dim) @ layer["wo"]
+        x = x + _lora_proj(attn.reshape(-1, cfg.n_heads * cfg.head_dim),
+                           layer["wo"], ll, "wo", lora_idx)
 
         h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
         gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
@@ -463,6 +506,8 @@ def prefill_step_fused(
     mesh=None,
     model_axis: str = "model",
     all_logits: bool = False,
+    lora=None,
+    lora_idx: Optional[jnp.ndarray] = None,
 ):
     """One CHUNKED-prefill step over fused pools: append the chunk's KV,
     then attend to cache history + chunk via ops/paged_fused.py's
@@ -518,10 +563,14 @@ def prefill_step_fused(
     new_kv, new_sc = [], []
     lens_out = q_offsets + seq_lens
     for li, layer in enumerate(params["layers"]):
+        ll = _lora_at(lora, li)
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = _split_heads(h @ layer["wq"], cfg.n_heads, cfg.head_dim)
-        k = _split_heads(h @ layer["wk"], cfg.n_kv_heads, cfg.head_dim)
-        v = _split_heads(h @ layer["wv"], cfg.n_kv_heads, cfg.head_dim)
+        q = _split_heads(_lora_proj(h, layer["wq"], ll, "wq", lora_idx),
+                         cfg.n_heads, cfg.head_dim)
+        k = _split_heads(_lora_proj(h, layer["wk"], ll, "wk", lora_idx),
+                         cfg.n_kv_heads, cfg.head_dim)
+        v = _split_heads(_lora_proj(h, layer["wv"], ll, "wv", lora_idx),
+                         cfg.n_kv_heads, cfg.head_dim)
         q = apply_rope(q, rope_cos, rope_sin, positions[:, None])
         k = apply_rope(k, rope_cos, rope_sin, positions[:, None])
 
@@ -532,7 +581,8 @@ def prefill_step_fused(
         if quantized:
             new_sc.append(sc)
         new_kv.append(kv)
-        x = x + _merge_heads(attn) @ layer["wo"]
+        x = x + _lora_proj(_merge_heads(attn), layer["wo"], ll, "wo",
+                           lora_idx)
 
         h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
         gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))

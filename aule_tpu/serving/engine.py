@@ -110,6 +110,9 @@ class Request:
     # logits BEFORE argmax/sampling (ban tokens with a large negative
     # bias, force with a large positive one).  logprobs stay raw-model.
     logit_bias: Optional[Dict[int, float]] = None
+    # multi-LoRA: name of the adapter this request runs on (None = base
+    # model); resolved against the engine's registered adapter bank
+    lora: Optional[str] = None
 
     def _emit(self, tok: int, logp: Optional[float] = None) -> None:
         self.output.append(tok)
@@ -161,6 +164,7 @@ class ServingEngine:
         spec_min_acceptance: float = 0.0,
         ngram_spec: int = 0,
         ngram_max: int = 3,
+        lora_params: Optional[Dict[str, Any]] = None,
     ):
         """layout='fused' (default) stores KV in the single-DMA-per-page
         pool layout (ops/paged_fused.py — the serving fast path);
@@ -332,6 +336,55 @@ class ServingEngine:
         # either way; only the dispatch pattern changes.
         self.spec_min_acceptance = float(spec_min_acceptance)
         self._spec_disabled = False
+        # Multi-LoRA serving: lora_params = {name: {"layers": [
+        # {"wq": (A [d,r], B [r,o]), ...} per layer]}} — per-request
+        # adapters over one base model.  Adapters stack into one bank
+        # (index 0 = all-zeros = base model) so a mixed batch runs ONE
+        # executable with per-row adapter gathers; submit(lora="name")
+        # selects.  Fold any alpha/r scaling into B before registering.
+        self.lora = None
+        self._lora_names: Dict[str, int] = {}
+        if lora_params:
+            import inspect
+
+            sig = inspect.signature(self.model.decode_step_fused)
+            if "lora" not in sig.parameters:
+                raise ValueError(
+                    "this model family does not support LoRA serving "
+                    "(models/llama.py does)")
+            if mesh is not None:
+                raise ValueError("multi-LoRA does not compose with "
+                                 "tensor-parallel serving yet")
+            if layout != "fused":
+                raise ValueError("multi-LoRA requires layout='fused'")
+            names = list(lora_params)
+            self._lora_names = {n: i + 1 for i, n in enumerate(names)}
+            bank = []
+            for li in range(cfg.n_layers):
+                keys: set = set()
+                for n in names:
+                    keys |= set(lora_params[n]["layers"][li])
+                entry = {}
+                for key in sorted(keys):
+                    pairs = [lora_params[n]["layers"][li].get(key)
+                             for n in names]
+                    ref = next(p for p in pairs if p is not None)
+                    aa = [jnp.asarray(p[0]) if p is not None
+                          else jnp.zeros_like(jnp.asarray(ref[0]))
+                          for p in pairs]
+                    bb = [jnp.asarray(p[1]) if p is not None
+                          else jnp.zeros_like(jnp.asarray(ref[1]))
+                          for p in pairs]
+                    if len({a.shape for a in aa}) != 1:
+                        raise ValueError(
+                            f"layer {li} {key}: adapters disagree on "
+                            f"LoRA shape — pad ranks to match before "
+                            f"registering")
+                    entry[key] = (
+                        jnp.stack([jnp.zeros_like(aa[0])] + aa),
+                        jnp.stack([jnp.zeros_like(bb[0])] + bb))
+                bank.append(entry)
+            self.lora = {"layers": bank}
         self.ngram_spec = int(ngram_spec)
         self.ngram_max = int(ngram_max)
         if self.ngram_spec > 0:
@@ -486,8 +539,8 @@ class ServingEngine:
                on_token: Optional[Callable[[int, int], None]] = None,
                temperature: float = 0.0, top_k: int = 0,
                top_p: float = 0.0, logprobs: bool = False,
-               stop=None, logit_bias: Optional[Dict[int, float]] = None
-               ) -> int:
+               stop=None, logit_bias: Optional[Dict[int, float]] = None,
+               lora: Optional[str] = None) -> int:
         prompt = np.asarray(prompt, np.int32)
         stop = [[int(t) for t in s] for s in (stop or [])]
         if any(not s for s in stop):
@@ -498,6 +551,10 @@ class ServingEngine:
             if any(not 0 <= t < v for t in logit_bias):
                 raise ValueError(f"logit_bias token ids must be in "
                                  f"[0, {v})")
+        if lora is not None and lora not in self._lora_names:
+            raise ValueError(
+                f"unknown LoRA adapter {lora!r}; registered: "
+                f"{sorted(self._lora_names) or 'none'}")
         if prompt.size == 0:
             raise ValueError("empty prompt: nothing to prefill")
         # Admission is all-or-nothing: a request whose worst-case length
@@ -529,7 +586,7 @@ class ServingEngine:
                       on_token=on_token, temperature=float(temperature),
                       top_k=int(top_k), top_p=float(top_p),
                       want_logprobs=bool(logprobs), stop=stop,
-                      logit_bias=logit_bias or None)
+                      logit_bias=logit_bias or None, lora=lora)
         self._next_id += 1
         self.waiting.append(req)
         return req.req_id
@@ -666,7 +723,7 @@ class ServingEngine:
             jnp.asarray(self.slot_dlens), jnp.asarray(self.slot_lens),
             self._block_table(), self.k_pages, self.k_scales,
             self.dk_pages, self.dk_scales, jnp.asarray(active), want_lp,
-            self._bias_matrix())
+            self._bias_matrix(), self._lora_row())
         for s, (lens_old, _, m_s, retired) in self._commit_round(
                 a, lp, n_emit, m, k).items():
             if not retired:
@@ -800,16 +857,18 @@ class ServingEngine:
         return jnp.asarray(bt)
 
     def _prefill(self, tokens, true_len, bt_row, k_pages, v_pages,
-                 k_scales, v_scales, *, pad_len):
+                 k_scales, v_scales, lidx=None, *, pad_len):
         """jit'd: forward + scatter prompt KV into pages for one request.
 
         tokens: [1, pad_len]; true_len: [1] valid-token count (padding
         tokens are masked out of the scatter); returns
         (logits, k_pages, v_pages, k_scales, v_scales)."""
+        kw = ({"lora": self.lora, "lora_idx": lidx}
+              if self.lora is not None else {})
         logits, kv = self.model.forward(
             self.params, tokens, self.cfg,
             rope_cos=self.rope_cos, rope_sin=self.rope_sin, return_kv=True,
-            mesh=self.mesh, model_axis=self.model_axis)
+            mesh=self.mesh, model_axis=self.model_axis, **kw)
         zero = jnp.zeros((1,), jnp.int32)
         fused_append = self._fused_prefill_append()
         for li, (k, v) in enumerate(kv):
@@ -868,21 +927,23 @@ class ServingEngine:
             check_vma=False)
 
     def _prefill_chunk_step(self, tokens, q_offset, seq_len, bt_row,
-                            k_pages, k_scales):
+                            k_pages, k_scales, lidx=None):
         """jit'd: one chunk of chunked prefill for one request."""
         L = self.cfg.n_layers
         pools = [k_pages[i] for i in range(L)]
+        kw = ({"lora": self.lora, "lora_idx": lidx}
+              if self.lora is not None else {})
         if self.quantized:
             logits, kvs, _, scs = self.model.prefill_step_fused(
                 self.params, tokens, q_offset, seq_len, pools,
                 bt_row[None], self.cfg, self.rope_cos, self.rope_sin,
                 kv_scales=[k_scales[i] for i in range(L)],
-                mesh=self.mesh, model_axis=self.model_axis)
+                mesh=self.mesh, model_axis=self.model_axis, **kw)
             return logits, jnp.stack(kvs), jnp.stack(scs)
         logits, kvs, _ = self.model.prefill_step_fused(
             self.params, tokens, q_offset, seq_len, pools,
             bt_row[None], self.cfg, self.rope_cos, self.rope_sin,
-            mesh=self.mesh, model_axis=self.model_axis)
+            mesh=self.mesh, model_axis=self.model_axis, **kw)
         return logits, jnp.stack(kvs), k_scales
 
     def _prefill_draft(self, tokens, true_len, bt_row, dk_pages,
@@ -932,7 +993,7 @@ class ServingEngine:
 
     def _spec_step(self, catchup, catchup_len, dlens, lens, bt,
                    k_pages, k_scales, dk_pages, dk_scales, active,
-                   want_lp=None, bias=None):
+                   want_lp=None, bias=None, lidx=None):
         """jit'd: one speculative round for the whole batch.
 
         catchup [B, K+1] holds the committed tokens at positions
@@ -1003,11 +1064,12 @@ class ServingEngine:
             catchup, jnp.maximum(catchup_len - 1, 0)[:, None], axis=1)
         chunk = jnp.concatenate([t, g], axis=1)  # [B, K+1]
         a, lp, n_emit, m, k_pages, k_scales = self._verify_chunk(
-            chunk, lens, bt, k_pages, k_scales, active, want_lp, bias)
+            chunk, lens, bt, k_pages, k_scales, active, want_lp, bias,
+            lidx)
         return a, lp, n_emit, m, k_pages, k_scales, dk_pages, dk_scales
 
     def _verify_chunk(self, chunk, lens, bt, k_pages, k_scales, active,
-                      want_lp, bias):
+                      want_lp, bias, lidx=None):
         """jit-traceable target verify shared by both speculation modes:
         ONE chunked prefill over chunk = [t, g_0..g_{K-1}] with
         per-position logits; a_i = BIASED argmax (what plain decode
@@ -1017,19 +1079,21 @@ class ServingEngine:
         vlen = jnp.where(active, K + 1, 0).astype(jnp.int32)
         lt = self.cfg.n_layers
         pools = [k_pages[i] for i in range(lt)]
+        lkw = ({"lora": self.lora, "lora_idx": lidx}
+               if self.lora is not None else {})
         if self.quantized:
             logits, kvs, _, scs = self.model.prefill_step_fused(
                 self.params, chunk, lens, vlen, pools, bt, self.cfg,
                 self.rope_cos, self.rope_sin,
                 kv_scales=[k_scales[i] for i in range(lt)],
                 all_logits=True, mesh=self.mesh,
-                model_axis=self.model_axis)
+                model_axis=self.model_axis, **lkw)
             k_pages, k_scales = jnp.stack(kvs), jnp.stack(scs)
         else:
             logits, kvs, _ = self.model.prefill_step_fused(
                 self.params, chunk, lens, vlen, pools, bt, self.cfg,
                 self.rope_cos, self.rope_sin, all_logits=True,
-                mesh=self.mesh, model_axis=self.model_axis)
+                mesh=self.mesh, model_axis=self.model_axis, **lkw)
             k_pages = jnp.stack(kvs)
         biased = (logits + bias[:, None, :] if bias is not None
                   else logits)
@@ -1044,12 +1108,12 @@ class ServingEngine:
         return a, lp, m + 1, m, k_pages, k_scales
 
     def _ngram_verify(self, t, g, lens, bt, k_pages, k_scales, active,
-                      want_lp=None, bias=None):
+                      want_lp=None, bias=None, lidx=None):
         """jit'd: the target-verify half of a speculative round, for
         prompt-lookup mode (no draft model)."""
         chunk = jnp.concatenate([t[:, None], g], axis=1)  # [B, K+1]
         return self._verify_chunk(chunk, lens, bt, k_pages, k_scales,
-                                  active, want_lp, bias)
+                                  active, want_lp, bias, lidx)
 
     def _ngram_eligible(self) -> bool:
         if self.ngram_spec <= 0 or self._spec_disabled or self.waiting:
@@ -1114,7 +1178,8 @@ class ServingEngine:
         (a, lp, n_emit, m, self.k_pages, self.k_scales) = self._ngram_jit(
             jnp.asarray(t), jnp.asarray(g), jnp.asarray(self.slot_lens),
             self._block_table(), self.k_pages, self.k_scales,
-            jnp.asarray(active), want_lp, self._bias_matrix())
+            jnp.asarray(active), want_lp, self._bias_matrix(),
+            self._lora_row())
         # no-candidate slots still commit >= 1 token (the verify's a_0
         # is the target's own next token) but don't count toward
         # acceptance — their zero-filled 'drafts' would skew the rate
@@ -1139,10 +1204,13 @@ class ServingEngine:
             tokens = np.zeros((1, c), np.int32)
             tokens[0, :len(chunk)] = chunk
             self.prefill_dispatches += 1
+            lidx = (jnp.asarray([self._lora_names[req.lora]
+                                 if req.lora else 0], jnp.int32)
+                    if self.lora is not None else None)
             logits, self.k_pages, self.k_scales = self._prefill_chunk_jit(
                 jnp.asarray(tokens), jnp.asarray([off], jnp.int32),
                 jnp.asarray([len(chunk)], jnp.int32), bt,
-                self.k_pages, self.k_scales)
+                self.k_pages, self.k_scales, lidx)
         self.slot_lens[slot] = n
         if self.spec_tokens > 0:
             # cached prefix pages already hold DRAFT KV too: every
@@ -1201,11 +1269,14 @@ class ServingEngine:
         bt = np.full((self.max_pages_per_seq,), -1, np.int32)
         pages = self.slot_pages[slot]
         bt[:len(pages)] = pages
+        lidx = (jnp.asarray([self._lora_names[req.lora]
+                             if req.lora else 0], jnp.int32)
+                if self.lora is not None else None)
         (logits, self.k_pages, self.v_pages, self.k_scales,
          self.v_scales) = self._prefill_jit(
             jnp.asarray(tokens), jnp.asarray([n], jnp.int32),
             jnp.asarray(bt), self.k_pages, self.v_pages,
-            self.k_scales, self.v_scales, pad_len=pad_len)
+            self.k_scales, self.v_scales, lidx, pad_len=pad_len)
         # note: padded tail tokens scatter garbage beyond n, but
         # context_len = n hides them from decode
         self.prefill_dispatches += 1
@@ -1227,6 +1298,16 @@ class ServingEngine:
             return  # cancel() from the callback already retired it
         if req.done:
             self._retire(slot)
+
+    def _lora_row(self):
+        """[B] adapter indices into the stacked bank (0 = base), or
+        None when no bank is registered (static: the common executable
+        never pays the gathers)."""
+        if self.lora is None:
+            return None
+        return jnp.asarray([
+            self._lora_names[r.lora] if r is not None and r.lora else 0
+            for r in self.slots], jnp.int32)
 
     def _bias_matrix(self):
         """[B, V] additive logit bias, or None when no running request
@@ -1311,7 +1392,7 @@ class ServingEngine:
 
     def _decode_step(self, tokens, positions, bt, lens, k_pages, v_pages,
                      k_scales, v_scales, key, temps, tks=None, tps=None,
-                     want_lp=None, bias=None):
+                     want_lp=None, bias=None, lidx=None):
         # want_lp rides as None (a static pytree shape) unless some
         # running request asked for logprobs — the common executable
         # skips the vocab-wide log_softmax + host logp transfer entirely
@@ -1320,6 +1401,8 @@ class ServingEngine:
                     if want_lp is not None else None)
 
         L = self.cfg.n_layers
+        lkw = ({"lora": self.lora, "lora_idx": lidx}
+               if self.lora is not None else {})
         if self.layout == "fused":
             pools = [k_pages[i] for i in range(L)]
             if self.quantized:
@@ -1327,14 +1410,14 @@ class ServingEngine:
                     self.params, tokens, positions, pools, bt, lens,
                     self.cfg, self.rope_cos, self.rope_sin,
                     kv_scales=[k_scales[i] for i in range(L)],
-                    mesh=self.mesh, model_axis=self.model_axis)
+                    mesh=self.mesh, model_axis=self.model_axis, **lkw)
                 nxt = self._sample_dev(logits, key, temps, tks, tps, bias)
                 return (nxt, lp(logits, nxt), jnp.stack(kvs),
                         v_pages, new_lens, jnp.stack(scs), v_scales)
             logits, kvs, new_lens = self.model.decode_step_fused(
                 self.params, tokens, positions, pools, bt, lens,
                 self.cfg, self.rope_cos, self.rope_sin,
-                mesh=self.mesh, model_axis=self.model_axis)
+                mesh=self.mesh, model_axis=self.model_axis, **lkw)
             nxt = self._sample_dev(logits, key, temps, tks, tps, bias)
             return (nxt, lp(logits, nxt), jnp.stack(kvs),
                     v_pages, new_lens, k_scales, v_scales)
@@ -1364,14 +1447,14 @@ class ServingEngine:
 
     def _decode_multi(self, tokens, positions, bt, lens, k_pages, v_pages,
                       k_scales, v_scales, key, temps, tks=None, tps=None,
-                      want_lp=None, bias=None, *, n_steps):
+                      want_lp=None, bias=None, lidx=None, *, n_steps):
         """jit'd: n_steps decode steps in one dispatch (lax.scan)."""
         def body(carry, t):
             tok, pos, ln, kp, vp, ks, vs = carry
             nxt, logp, kp, vp, new_ln, ks, vs = self._decode_step(
                 tok, pos, bt, ln, kp, vp, ks, vs,
                 jax.random.fold_in(key, t), temps, tks, tps, want_lp,
-                bias)
+                bias, lidx)
             return (nxt, pos + 1, new_ln, kp, vp, ks, vs), (nxt, logp)
 
         init = (tokens, positions, lens, k_pages, v_pages,
@@ -1407,6 +1490,7 @@ class ServingEngine:
             r is not None and r.want_logprobs for r in self.slots)
             else None)
         bias = self._bias_matrix()
+        lidx = self._lora_row()
         k = self.decode_steps
         multi = (k > 1 and not self.waiting and remaining
                  and min(remaining) >= k)
@@ -1415,7 +1499,8 @@ class ServingEngine:
              self.k_scales, self.v_scales) = self._decode_multi_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
-                step_key, temps, tks, tps, want_lp, bias, n_steps=k)
+                step_key, temps, tks, tps, want_lp, bias, lidx,
+                n_steps=k)
             next_np = np.asarray(toks)  # [k, max_batch]
             logp_np = np.asarray(logps) if logps is not None else None
         else:
@@ -1423,7 +1508,7 @@ class ServingEngine:
              self.k_scales, self.v_scales) = self._decode_jit(
                 jnp.asarray(tokens), lens, self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
-                step_key, temps, tks, tps, want_lp, bias)
+                step_key, temps, tks, tps, want_lp, bias, lidx)
             next_np = np.asarray(next_tokens)[None]
             logp_np = (np.asarray(logps)[None] if logps is not None
                        else None)
@@ -1491,7 +1576,8 @@ def save_engine_state(eng: "ServingEngine", path: str) -> None:
             "want_logprobs": r.want_logprobs,
             "logprobs": list(r.logprobs),
             "stop": [list(s) for s in r.stop],
-            "logit_bias": r.logit_bias}
+            "logit_bias": r.logit_bias,
+            "lora": r.lora}
 
     host = {
         "slots": [req(r) for r in eng.slots],
@@ -1563,7 +1649,8 @@ def load_engine_state(eng: "ServingEngine", path: str) -> None:
                     stop=[list(s) for s in d.get("stop", [])],
                     logit_bias=({int(k): v for k, v in
                                  d["logit_bias"].items()}
-                                if d.get("logit_bias") else None))
+                                if d.get("logit_bias") else None),
+                    lora=d.get("lora"))
         r.output.extend(d["output"])
         r.logprobs.extend(d.get("logprobs", []))
         return r

@@ -136,6 +136,7 @@ class ServingHTTPServer:
                                          body["logit_bias"].items()}
                                         if body.get("logit_bias")
                                         else None),
+                            lora=body.get("lora"),
                             on_token=(
                                 (lambda _rid, tok:
                                  pend.stream_q.put(tok)) if stream
