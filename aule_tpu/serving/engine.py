@@ -359,11 +359,19 @@ class ServingEngine:
                 raise ValueError("multi-LoRA requires layout='fused'")
             names = list(lora_params)
             self._lora_names = {n: i + 1 for i, n in enumerate(names)}
+            supported = {"wq", "wk", "wv", "wo"}
             bank = []
             for li in range(cfg.n_layers):
                 keys: set = set()
                 for n in names:
                     keys |= set(lora_params[n]["layers"][li])
+                bad = keys - supported
+                if bad:
+                    raise ValueError(
+                        f"layer {li}: unsupported LoRA targets {sorted(bad)} "
+                        f"(the model applies adapters to {sorted(supported)} "
+                        f"only; registering others would silently ignore "
+                        f"them)")
                 entry = {}
                 for key in sorted(keys):
                     pairs = [lora_params[n]["layers"][li].get(key)
@@ -779,12 +787,17 @@ class ServingEngine:
                 self.spec_min_acceptance, self.spec_rounds)
         return info
 
-    def _prompt_page_hashes(self, prompt) -> List[str]:
-        """Chained content hashes of the prompt's FULL pages."""
+    def _prompt_page_hashes(self, prompt,
+                            lora: Optional[str] = None) -> List[str]:
+        """Chained content hashes of the prompt's FULL pages.  The
+        adapter name seeds the chain: LoRA deltas on wk/wv change the
+        page CONTENTS for the same tokens, so adapter and base requests
+        must never share cached pages (confirmed contamination
+        otherwise — code-review r3)."""
         import hashlib
 
         hashes = []
-        prev = b""
+        prev = f"lora={lora or ''}".encode()
         for p in range(len(prompt) // self.page_size):
             chunk = np.asarray(
                 prompt[p * self.page_size:(p + 1) * self.page_size],
@@ -793,13 +806,13 @@ class ServingEngine:
             hashes.append(prev.decode())
         return hashes
 
-    def _prefix_hits(self, prompt):
+    def _prefix_hits(self, prompt, lora: Optional[str] = None):
         """(cached phys pages, their hashes) for the longest cached
         prefix; capped so at least one prompt token still prefills."""
         if not self.enable_prefix_cache:
             return [], []
         max_pages = (len(prompt) - 1) // self.page_size
-        hashes = self._prompt_page_hashes(prompt)[:max_pages]
+        hashes = self._prompt_page_hashes(prompt, lora)[:max_pages]
         hit_pages, hit_hashes = [], []
         for h in hashes:
             phys = self._prefix_cache.get(h)
@@ -826,7 +839,7 @@ class ServingEngine:
             req = self.waiting[0]
             total = -(-(len(req.prompt) + req.max_new_tokens)
                       // self.page_size)
-            hit_pages, _ = self._prefix_hits(req.prompt)
+            hit_pages, _ = self._prefix_hits(req.prompt, req.lora)
             need = total - len(hit_pages)
             # Pin the hit pages BEFORE any eviction: _evict_for frees
             # refcount-0 cached pages oldest-first, which would otherwise
@@ -863,8 +876,7 @@ class ServingEngine:
         tokens: [1, pad_len]; true_len: [1] valid-token count (padding
         tokens are masked out of the scatter); returns
         (logits, k_pages, v_pages, k_scales, v_scales)."""
-        kw = ({"lora": self.lora, "lora_idx": lidx}
-              if self.lora is not None else {})
+        kw = self._lora_kw(lidx)
         logits, kv = self.model.forward(
             self.params, tokens, self.cfg,
             rope_cos=self.rope_cos, rope_sin=self.rope_sin, return_kv=True,
@@ -931,8 +943,7 @@ class ServingEngine:
         """jit'd: one chunk of chunked prefill for one request."""
         L = self.cfg.n_layers
         pools = [k_pages[i] for i in range(L)]
-        kw = ({"lora": self.lora, "lora_idx": lidx}
-              if self.lora is not None else {})
+        kw = self._lora_kw(lidx)
         if self.quantized:
             logits, kvs, _, scs = self.model.prefill_step_fused(
                 self.params, tokens, q_offset, seq_len, pools,
@@ -1079,8 +1090,7 @@ class ServingEngine:
         vlen = jnp.where(active, K + 1, 0).astype(jnp.int32)
         lt = self.cfg.n_layers
         pools = [k_pages[i] for i in range(lt)]
-        lkw = ({"lora": self.lora, "lora_idx": lidx}
-               if self.lora is not None else {})
+        lkw = self._lora_kw(lidx)
         if self.quantized:
             logits, kvs, _, scs = self.model.prefill_step_fused(
                 self.params, chunk, lens, vlen, pools, bt, self.cfg,
@@ -1204,13 +1214,10 @@ class ServingEngine:
             tokens = np.zeros((1, c), np.int32)
             tokens[0, :len(chunk)] = chunk
             self.prefill_dispatches += 1
-            lidx = (jnp.asarray([self._lora_names[req.lora]
-                                 if req.lora else 0], jnp.int32)
-                    if self.lora is not None else None)
             logits, self.k_pages, self.k_scales = self._prefill_chunk_jit(
                 jnp.asarray(tokens), jnp.asarray([off], jnp.int32),
                 jnp.asarray([len(chunk)], jnp.int32), bt,
-                self.k_pages, self.k_scales, lidx)
+                self.k_pages, self.k_scales, self._lora_idx_for(req))
         self.slot_lens[slot] = n
         if self.spec_tokens > 0:
             # cached prefix pages already hold DRAFT KV too: every
@@ -1246,7 +1253,7 @@ class ServingEngine:
         """Content-register this request's FULL prompt pages (they now
         hold computed KV); already-cached hashes keep their original
         page (this request's copy stays private)."""
-        hashes = self._prompt_page_hashes(req.prompt)
+        hashes = self._prompt_page_hashes(req.prompt, req.lora)
         for idx, h in enumerate(hashes):
             phys = self.slot_pages[slot][idx]
             if h in self._prefix_cache:
@@ -1269,9 +1276,7 @@ class ServingEngine:
         bt = np.full((self.max_pages_per_seq,), -1, np.int32)
         pages = self.slot_pages[slot]
         bt[:len(pages)] = pages
-        lidx = (jnp.asarray([self._lora_names[req.lora]
-                             if req.lora else 0], jnp.int32)
-                if self.lora is not None else None)
+        lidx = self._lora_idx_for(req)
         (logits, self.k_pages, self.v_pages, self.k_scales,
          self.v_scales) = self._prefill_jit(
             jnp.asarray(tokens), jnp.asarray([n], jnp.int32),
@@ -1301,13 +1306,26 @@ class ServingEngine:
 
     def _lora_row(self):
         """[B] adapter indices into the stacked bank (0 = base), or
-        None when no bank is registered (static: the common executable
-        never pays the gathers)."""
-        if self.lora is None:
+        None when no RUNNING request uses an adapter (static, like the
+        bias/top-k sentinels: the all-base executable skips the per-row
+        gathers and low-rank einsums entirely)."""
+        if self.lora is None or not any(
+                r is not None and r.lora for r in self.slots):
             return None
         return jnp.asarray([
             self._lora_names[r.lora] if r is not None and r.lora else 0
             for r in self.slots], jnp.int32)
+
+    def _lora_idx_for(self, req: Request):
+        """[1] adapter index for a single-request dispatch (prefill),
+        or None when the request runs the base model."""
+        if self.lora is None or not req.lora:
+            return None
+        return jnp.asarray([self._lora_names[req.lora]], jnp.int32)
+
+    def _lora_kw(self, lidx):
+        return ({"lora": self.lora, "lora_idx": lidx}
+                if self.lora is not None and lidx is not None else {})
 
     def _bias_matrix(self):
         """[B, V] additive logit bias, or None when no running request
@@ -1401,8 +1419,7 @@ class ServingEngine:
                     if want_lp is not None else None)
 
         L = self.cfg.n_layers
-        lkw = ({"lora": self.lora, "lora_idx": lidx}
-               if self.lora is not None else {})
+        lkw = self._lora_kw(lidx)
         if self.layout == "fused":
             pools = [k_pages[i] for i in range(L)]
             if self.quantized:
@@ -1651,6 +1668,12 @@ def load_engine_state(eng: "ServingEngine", path: str) -> None:
                                  d["logit_bias"].items()}
                                 if d.get("logit_bias") else None),
                     lora=d.get("lora"))
+        if r.lora is not None and r.lora not in eng._lora_names:
+            raise ValueError(
+                f"checkpointed request {r.req_id} uses LoRA adapter "
+                f"{r.lora!r} but the engine has "
+                f"{sorted(eng._lora_names) or 'no adapters'} registered "
+                f"- resuming would silently decode on the wrong weights")
         r.output.extend(d["output"])
         r.logprobs.extend(d.get("logprobs", []))
         return r

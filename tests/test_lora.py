@@ -139,3 +139,65 @@ def test_lora_validation(params):
                       page_size=16, num_pages=64, max_pages_per_seq=8,
                       max_seq_len=256, model=gpt2,
                       lora_params={"x": adapter})
+
+
+def test_prefix_cache_is_lora_aware(params):
+    """KV pages computed under an adapter's wk/wv deltas must never be
+    reused by base (or other-adapter) requests with the same prompt —
+    the adapter name seeds the page-hash chain (code-review r3:
+    confirmed contamination)."""
+    adapter = make_adapter(jax.random.key(8), targets=("wk", "wv"))
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, 256, size=36).astype(np.int32)  # 2 pages
+    kw = dict(max_new_tokens=6)
+    base_alone = run(params, [prompt], [kw])[0]
+
+    eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256, prefill_chunk=16,
+                        enable_prefix_cache=True,
+                        lora_params={"x": adapter})
+    r_lora = eng.submit(prompt, max_new_tokens=6, lora="x")
+    done = {r.req_id: r for r in eng.run()}
+    r_base = eng.submit(prompt, max_new_tokens=6)  # same prompt, base
+    done.update({r.req_id: r for r in eng.run()})
+    assert done[r_base].output == base_alone
+    assert done[r_lora].output != base_alone
+    # same-adapter resubmission DOES hit the cache
+    hits0 = eng.prefix_cache_hit_tokens
+    eng.submit(prompt, max_new_tokens=4, lora="x")
+    eng.run()
+    assert eng.prefix_cache_hit_tokens > hits0
+
+
+def test_unsupported_lora_target_rejected(params):
+    bad = make_adapter(jax.random.key(9))
+    bad["layers"][0]["w_gate"] = bad["layers"][0]["wq"]
+    with pytest.raises(ValueError, match="unsupported LoRA targets"):
+        ServingEngine(params, CFG, max_batch=1, page_size=16,
+                      num_pages=64, max_pages_per_seq=8,
+                      max_seq_len=256, lora_params={"x": bad})
+
+
+def test_checkpoint_restore_validates_adapter(params, tmp_path):
+    from aule_tpu.serving.engine import (
+        load_engine_state,
+        save_engine_state,
+    )
+
+    adapter = make_adapter(jax.random.key(10))
+    eng = ServingEngine(params, CFG, max_batch=1, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256, lora_params={"x": adapter})
+    rng = np.random.default_rng(4)
+    eng.submit(rng.integers(0, 256, size=6).astype(np.int32), 8,
+               lora="x")
+    eng.step()
+    path = str(tmp_path / "ck")
+    save_engine_state(eng, path)
+
+    res = ServingEngine(params, CFG, max_batch=1, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256)  # no adapters registered
+    with pytest.raises(ValueError, match="LoRA adapter"):
+        load_engine_state(res, path)
