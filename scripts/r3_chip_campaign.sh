@@ -5,6 +5,7 @@
 # and failures don't stop later stages (severity-ordered).
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH=.   # probe scripts import aule_tpu from the repo root
 OUT=/tmp/r3_campaign
 mkdir -p $OUT
 run() {  # run <name> <timeout_s> <cmd...>

@@ -2,6 +2,8 @@
 pool padding end-to-end (the reference's integration target is GPT-2,
 python/aule/patching.py:15-128)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,10 +21,16 @@ def params():
 
 
 def test_forward_vs_oracle(params):
-    """flash-kernel forward == naive masked-softmax attention forward."""
+    """flash-kernel forward == naive masked-softmax attention forward.
+
+    Matmuls are pinned to "highest" precision so the TPU MXU runs full
+    f32 passes in BOTH paths; without the pin the default bf16-pass f32
+    einsums diverge beyond any meaningful tolerance across a 2-layer
+    model + vocab projection (r3 chip campaign).  A residual chip
+    tolerance covers the pallas kernel's own accumulation order.
+    """
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, 256, size=(2, 24)), jnp.int32)
-    logits = gpt2.forward(params, tokens, CFG)
 
     def naive(params, tokens):
         b, s = tokens.shape
@@ -43,9 +51,12 @@ def test_forward_vs_oracle(params):
                             CFG.norm_eps)
         return (x @ params["wte"].T).astype(jnp.float32)
 
-    want = naive(params, tokens)
+    with jax.default_matmul_precision("highest"):
+        logits = gpt2.forward(params, tokens, CFG)
+        want = naive(params, tokens)
+    tol = 2e-3 if os.environ.get("AULE_TEST_TPU") == "1" else 2e-4
     np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
-                               rtol=2e-4, atol=2e-4)
+                               rtol=tol, atol=tol)
 
 
 def test_engine_gpt2_decode_matches_forward(params):
