@@ -5,7 +5,10 @@
 # and failures don't stop later stages (severity-ordered).
 set -u
 cd "$(dirname "$0")/.."
-export PYTHONPATH=.   # probe scripts import aule_tpu from the repo root
+# Probe scripts import aule_tpu from the repo root.  APPEND to
+# PYTHONPATH: the axon TPU plugin registers via /root/.axon_site on
+# PYTHONPATH, so overwriting it silently kills the chip backend.
+export PYTHONPATH=.:${PYTHONPATH:-}
 OUT=/tmp/r3_campaign
 mkdir -p $OUT
 run() {  # run <name> <timeout_s> <cmd...>
