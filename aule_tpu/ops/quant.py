@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,3 +59,30 @@ def quantize_kv(x: jnp.ndarray, dtype=jnp.int8) -> Tuple[jnp.ndarray, jnp.ndarra
 def dequantize_kv(payload: jnp.ndarray, scale: jnp.ndarray,
                   dtype=jnp.float32) -> jnp.ndarray:
     return (payload.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def e4m3_expand(x_i8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Expand float8_e4m3fn payloads BITCAST AS INT8 to a float dtype
+    using integer ops only — no fp8 dtype ever reaches the compiler.
+
+    v5e has no fp8 hardware path, and Mosaic's software float8 cast is
+    ~6x slower than the int8 pipeline (round-3 verdict).  The bit layout
+    does the work instead: e4m3fn is s|eeee|mmm (bias 7), f32 is
+    s|e8|m23 (bias 127), so for normals the f32 bits are simply the
+    7-bit exp+mantissa field shifted into place plus the bias delta:
+
+        f32_bits = ((x & 0x7f) << 20) + (120 << 23)
+
+    (monotone-linear in the packed field — one shift + one add per
+    element, VPU-friendly).  Subnormals (exp field 0) decode exactly as
+    m * 2^-9 via a select; e4m3fn NaN (0x7f) cannot occur in pools
+    (quantize_kv clips to +-448).  Exact for every value quantize_kv
+    can produce, verified bit-for-bit against XLA's own cast in
+    tests/test_quant.py."""
+    xi = x_i8.astype(jnp.int32)
+    em = jnp.bitwise_and(xi, 0x7F)
+    mag = jax.lax.bitcast_convert_type(
+        (em << 20) + (120 << 23), jnp.float32)
+    sub = jnp.bitwise_and(em, 0x7).astype(jnp.float32) * (2.0 ** -9)
+    mag = jnp.where(em < 8, sub, mag)
+    return jnp.where(xi < 0, -mag, mag).astype(dtype)

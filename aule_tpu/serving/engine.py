@@ -659,31 +659,60 @@ class ServingEngine:
     def step(self) -> None:
         self._admit()
         if self.num_running:
-            if self._spec_eligible():
-                self._spec_all()
-            elif self._ngram_eligible() and self._ngram_all():
+            caps = self._spec_caps(self.spec_tokens)
+            ncaps = self._spec_caps(self.ngram_spec)
+            if caps is not None:
+                self._spec_all(caps)
+            elif ncaps is not None and self._ngram_all(ncaps):
                 pass  # prompt-lookup round committed >= 1 token/request
             else:
                 self._decode_all()
 
-    def _spec_eligible(self) -> bool:
-        """Speculative rounds run only when every active request is
-        greedy and has >= K+1 tokens to go (so the round's worst-case
-        K+1 cache appends stay inside the request's page budget) and
-        nothing is waiting for a slot (admission latency beats batching
-        a longer round, same rule as multi-step decode)."""
-        if self.spec_tokens <= 0 or self._spec_disabled or self.waiting:
-            return False
-        for req in self.slots:
+    def _spec_caps(self, k: int) -> Optional[np.ndarray]:
+        """Per-slot verify lengths for a speculative round, or None when
+        no round should run.  A slot takes a full K+1 round when its
+        remaining budget covers the round's worst-case K+1 cache appends
+        (they must stay inside the slot's page budget); a slot that
+        can't still participates with cap=1 — a plain-decode-equivalent
+        verify of just its pending token — so one short request no
+        longer suspends speculation for the whole batch (round-3 verdict:
+        eligibility was all-or-nothing).  Sampled (temperature > 0)
+        requests are eligible too: the verify rejection-samples them
+        (see _verify_chunk), which preserves their output distribution
+        exactly, so there is nothing to suspend for."""
+        if k <= 0 or self._spec_disabled:
+            return None
+        caps = np.ones((self.max_batch,), np.int32)
+        any_full = False
+        for s, req in enumerate(self.slots):
             if req is None:
                 continue
-            if req.temperature > 0.0:
-                return False
-            if req.max_new_tokens - len(req.output) < self.spec_tokens + 1:
-                return False
-        return True
+            if req.max_new_tokens - len(req.output) >= k + 1:
+                caps[s] = k + 1
+                any_full = True
+        return caps if any_full else None
 
-    def _spec_all(self) -> None:
+    def _spec_sampling_args(self):
+        """(key, temps, tks, tps) for a speculative round, or all-None
+        when every active request is greedy — the static-None pytree
+        keeps the all-greedy executable free of sampling code (and of
+        RNG consumption, so greedy streams are identical to r3's)."""
+        if not any(r is not None and r.temperature > 0.0
+                   for r in self.slots):
+            return None, None, None, None
+        self._rng, key = jax.random.split(self._rng)
+        temps = jnp.asarray([
+            (r.temperature if r is not None else 0.0)
+            for r in self.slots], jnp.float32)
+        tk_list = [(r.top_k if r is not None else 0) for r in self.slots]
+        tp_list = [(r.top_p if r is not None else 0.0)
+                   for r in self.slots]
+        tks = jnp.asarray(tk_list, jnp.int32) if any(tk_list) else None
+        tps = (jnp.asarray(tp_list, jnp.float32)
+               if any(tp_list) else None)
+        return key, temps, tks, tps
+
+    def _spec_all(self, caps: np.ndarray) -> None:
         """One speculative round: draft K candidates, verify in one
         target dispatch, emit the agreeing prefix + 1 (host trims eos
         overshoot exactly like multi-step decode)."""
@@ -725,19 +754,24 @@ class ServingEngine:
         want_lp = (jnp.zeros((), jnp.int32) if any(
             r is not None and r.want_logprobs for r in self.slots)
             else None)
+        key, temps, tks, tps = self._spec_sampling_args()
         (a, lp, n_emit, m, self.k_pages, self.k_scales, self.dk_pages,
          self.dk_scales) = self._spec_jit(
             jnp.asarray(catchup), jnp.asarray(clen),
             jnp.asarray(self.slot_dlens), jnp.asarray(self.slot_lens),
             self._block_table(), self.k_pages, self.k_scales,
-            self.dk_pages, self.dk_scales, jnp.asarray(active), want_lp,
-            self._bias_matrix(), self._lora_row())
+            self.dk_pages, self.dk_scales, jnp.asarray(active),
+            jnp.asarray(caps), want_lp, self._bias_matrix(),
+            self._lora_row(), key, temps, tks, tps)
+        counted = caps > 1  # cap-1 slots emit 1 token but draft nothing
         for s, (lens_old, _, m_s, retired) in self._commit_round(
-                a, lp, n_emit, m, k).items():
+                a, lp, n_emit, m, k, counted=counted).items():
             if not retired:
                 # draft KV exists for t and accepted g_0..g_{min(m,K-1)-1}
-                # (the decode scan appends only K-1 of the K candidates)
-                self.slot_dlens[s] = lens_old + 1 + min(m_s, k - 1)
+                # (the decode scan appends only K-1 of the K candidates);
+                # cap-1 slots verified only t, so nothing past it counts
+                self.slot_dlens[s] = lens_old + 1 + min(
+                    m_s, k - 1, int(caps[s]) - 1)
 
     def _commit_round(self, a, lp, n_emit, m, k, counted=None):
         """Shared spec-round commit (draft-based and prompt-lookup):
@@ -1004,21 +1038,35 @@ class ServingEngine:
 
     def _spec_step(self, catchup, catchup_len, dlens, lens, bt,
                    k_pages, k_scales, dk_pages, dk_scales, active,
-                   want_lp=None, bias=None, lidx=None):
+                   caps, want_lp=None, bias=None, lidx=None, key=None,
+                   temps=None, tks=None, tps=None):
         """jit'd: one speculative round for the whole batch.
 
         catchup [B, K+1] holds the committed tokens at positions
         dlens..lens; its last valid row is the pending token t (emitted
         but not yet in any KV pool).  The draft appends them all in one
         chunked prefill — catching its pool up through t — and its
-        last-row logits propose g0; K-1 greedy draft decode steps extend
-        the proposal to g0..g{K-1}.  The target then verifies the chunk
+        last-row logits propose g0; K-1 draft decode steps extend the
+        proposal to g0..g{K-1}.  The target then verifies the chunk
         [t, g0..g{K-1}] in ONE chunked prefill with per-position logits
-        (all_logits=True): a_i = argmax(logits_i) is what plain greedy
-        decode would emit after i accepted tokens, so the round commits
-        a_0..a_m where m = longest prefix with a_i == g_i (m accepted
-        drafts + the target's own next token; n_emit = m+1 in 1..K+1).
-        Token-identical to plain greedy decode by construction.
+        (all_logits=True).
+
+        Greedy slots (temps None or temps[s] == 0): a_i =
+        argmax(logits_i) is what plain greedy decode would emit after i
+        accepted tokens, so the round commits a_0..a_m where m = longest
+        prefix with a_i == g_i (m accepted drafts + the target's own
+        next token; n_emit = m+1 in 1..K+1).  Token-identical to plain
+        greedy decode by construction.
+
+        Sampled slots (temps[s] > 0): the draft SAMPLES g_i from its
+        warped distribution q_i (same temperature/top-k/top-p warping as
+        the target's) and the verify runs standard rejection sampling
+        against the warped target distribution p_i — accept g_i w.p.
+        min(1, p_i(g_i)/q_i(g_i)), resample the first reject from the
+        residual norm((p_i - q_i)^+) — which makes every emitted token
+        exactly p_i-distributed (Leviathan et al. speculative sampling;
+        net-new vs the reference, which has no serving loop at all,
+        SURVEY.md §2.4).
 
         Returns (a [B, K+1], n_emit [B], m [B], pools/scales...)."""
         K = self.spec_tokens
@@ -1039,7 +1087,24 @@ class ServingEngine:
                 self.draft_rope_sin,
                 mesh=self.mesh, model_axis=self.model_axis)
             dk_pages = jnp.stack(dkvs)
-        g0 = jnp.argmax(dlogits, -1).astype(jnp.int32)
+
+        def propose(lg, i):
+            """Draft proposal at step i: argmax for greedy slots, a
+            sample from the warped draft distribution for sampled slots
+            (returned alongside, for the verify's acceptance ratio)."""
+            amax = jnp.argmax(lg, -1).astype(jnp.int32)
+            if temps is None:
+                return amax, None
+            t_eff = jnp.where(temps > 0.0, temps, 1.0)
+            scaled = lg.astype(jnp.float32) / t_eff[:, None]
+            if tks is not None or tps is not None:
+                scaled = _restrict_rows(scaled, tks, tps)
+            samp = jax.random.categorical(
+                jax.random.fold_in(key, 2 * i), scaled, axis=-1)
+            tok = jnp.where(temps > 0.0, samp, amax).astype(jnp.int32)
+            return tok, jax.nn.softmax(scaled, axis=-1)
+
+        g0, q0 = propose(dlogits, 0)
 
         def body(carry, i):
             tok, dkp, dsc = carry
@@ -1059,35 +1124,55 @@ class ServingEngine:
                     self.draft_cfg, self.draft_rope_cos,
                     self.draft_rope_sin,
                     mesh=self.mesh, model_axis=self.model_axis)
-            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
-            return (nxt, jnp.stack(kvs), dsc), nxt
+            nxt, qn = propose(lg, i + 1)
+            return (nxt, jnp.stack(kvs), dsc), (nxt, qn)
 
         if K > 1:
-            (_, dk_pages, dk_scales), g_rest = jax.lax.scan(
+            (_, dk_pages, dk_scales), (g_rest, q_rest) = jax.lax.scan(
                 body, (g0, dk_pages, dk_scales),
                 jnp.arange(K - 1, dtype=jnp.int32))
             g = jnp.concatenate([g0[:, None], g_rest.T], axis=1)  # [B, K]
+            q = (None if q0 is None else jnp.concatenate(
+                [q0[:, None], jnp.swapaxes(q_rest, 0, 1)], axis=1))
         else:
             g = g0[:, None]
+            q = None if q0 is None else q0[:, None]
 
         # target verify: one chunked prefill over [t, g0..g{K-1}]
         t = jnp.take_along_axis(
             catchup, jnp.maximum(catchup_len - 1, 0)[:, None], axis=1)
         chunk = jnp.concatenate([t, g], axis=1)  # [B, K+1]
         a, lp, n_emit, m, k_pages, k_scales = self._verify_chunk(
-            chunk, lens, bt, k_pages, k_scales, active, want_lp, bias,
-            lidx)
+            chunk, q, caps, lens, bt, k_pages, k_scales, active, want_lp,
+            bias, lidx, key, temps, tks, tps)
         return a, lp, n_emit, m, k_pages, k_scales, dk_pages, dk_scales
 
-    def _verify_chunk(self, chunk, lens, bt, k_pages, k_scales, active,
-                      want_lp, bias, lidx=None):
+    def _verify_chunk(self, chunk, q, caps, lens, bt, k_pages, k_scales,
+                      active, want_lp, bias, lidx=None, key=None,
+                      temps=None, tks=None, tps=None):
         """jit-traceable target verify shared by both speculation modes:
         ONE chunked prefill over chunk = [t, g_0..g_{K-1}] with
-        per-position logits; a_i = BIASED argmax (what plain decode
-        would emit), m = longest prefix with a_i == g_i, n_emit = m+1;
-        logprobs (when asked) stay raw-model."""
+        per-position logits.
+
+        Greedy slots: a_i = BIASED argmax (what plain decode would
+        emit), m = longest prefix with a_i == g_i, n_emit = m+1;
+        token-identical to plain greedy decode.
+
+        Sampled slots (temps[s] > 0): rejection sampling against the
+        warped target distribution p_i (bias + temperature + top-k/p,
+        the same warp plain decode's _sample_dev applies).  q [B, K, V]
+        is the draft's warped proposal distribution; q=None means the
+        proposals were deterministic (prompt-lookup), i.e. q_i =
+        one-hot(g_i): accept w.p. p_i(g_i), residual = p_i with g_i
+        zeroed.  Either way each emitted token is exactly
+        p_i-distributed.
+
+        caps [B] limits per-slot verify length: cap-1 slots append/emit
+        only their pending token (their remaining budget can't take a
+        full round).  Logprobs (when asked) stay raw-model."""
         K = chunk.shape[1] - 1
-        vlen = jnp.where(active, K + 1, 0).astype(jnp.int32)
+        vlen = jnp.where(
+            active, jnp.minimum(caps, K + 1), 0).astype(jnp.int32)
         lt = self.cfg.n_layers
         pools = [k_pages[i] for i in range(lt)]
         lkw = self._lora_kw(lidx)
@@ -1107,35 +1192,78 @@ class ServingEngine:
             k_pages = jnp.stack(kvs)
         biased = (logits + bias[:, None, :] if bias is not None
                   else logits)
-        a = jnp.argmax(biased, -1).astype(jnp.int32)    # [B, K+1]
+        arg = jnp.argmax(biased, -1).astype(jnp.int32)  # [B, K+1]
+        g = chunk[:, 1:]                                # [B, K]
+        if temps is None:
+            a = arg
+            match = (arg[:, :K] == g).astype(jnp.int32)
+            m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+        else:
+            B, V = chunk.shape[0], biased.shape[-1]
+            t_eff = jnp.where(temps > 0.0, temps, 1.0)
+            scaled = biased.astype(jnp.float32) / t_eff[:, None, None]
+            if tks is not None or tps is not None:
+                rep = (lambda x: None if x is None
+                       else jnp.repeat(x, K + 1, axis=0))
+                scaled = _restrict_rows(
+                    scaled.reshape(B * (K + 1), V), rep(tks),
+                    rep(tps)).reshape(B, K + 1, V)
+            p = jax.nn.softmax(scaled, axis=-1)         # [B, K+1, V]
+            p_at_g = jnp.take_along_axis(
+                p[:, :K], g[..., None], axis=-1)[..., 0]
+            if q is None:  # deterministic proposals: q_i = one-hot(g_i)
+                q_at_g = jnp.ones_like(p_at_g)
+                residual = jnp.where(
+                    jax.nn.one_hot(g, V, dtype=bool), 0.0, p[:, :K])
+            else:
+                q_at_g = jnp.take_along_axis(
+                    q, g[..., None], axis=-1)[..., 0]
+                residual = jnp.maximum(p[:, :K] - q, 0.0)
+            # accept g_i iff u_i < min(1, p(g_i)/q(g_i)), as u*q < p
+            u = jax.random.uniform(jax.random.fold_in(key, 9999), (B, K))
+            acc = jnp.where((temps <= 0.0)[:, None], arg[:, :K] == g,
+                            u * q_at_g < p_at_g).astype(jnp.int32)
+            m = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)  # [B] in 0..K
+            # token at position m: residual resample on reject (m < K),
+            # the bonus distribution p_K when everything was accepted
+            mK = jnp.minimum(m, K)[:, None]
+            res_m = jnp.take_along_axis(
+                residual, jnp.minimum(m, K - 1)[:, None, None],
+                axis=1)[:, 0]                            # [B, V]
+            rs = jnp.sum(res_m, axis=-1, keepdims=True)
+            p_m = jnp.take_along_axis(p, mK[..., None], axis=1)[:, 0]
+            # rs ~ 0 only when p == q at the reject position, where the
+            # accept prob was 1 — numerically fall back to p_m
+            final_dist = jnp.where(m[:, None] >= K, p_m,
+                                   jnp.where(rs > 1e-12, res_m / rs, p_m))
+            samp = jax.random.categorical(
+                jax.random.fold_in(key, 10001),
+                jnp.log(jnp.maximum(final_dist, 1e-30)),
+                axis=-1).astype(jnp.int32)
+            final_tok = jnp.where(
+                temps > 0.0, samp,
+                jnp.take_along_axis(arg, mK, axis=1)[:, 0])
+            a = jnp.concatenate(
+                [g, jnp.zeros((B, 1), jnp.int32)], axis=1)
+            a = a.at[jnp.arange(B), mK[:, 0]].set(final_tok)
         if want_lp is not None:
             lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             lp = jnp.take_along_axis(lsm, a[..., None], axis=-1)[..., 0]
         else:
             lp = None
-        match = (a[:, :K] == chunk[:, 1:]).astype(jnp.int32)
-        m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
-        return a, lp, m + 1, m, k_pages, k_scales
+        n_emit = jnp.minimum(m + 1, caps).astype(jnp.int32)
+        return a, lp, n_emit, n_emit - 1, k_pages, k_scales
 
     def _ngram_verify(self, t, g, lens, bt, k_pages, k_scales, active,
-                      want_lp=None, bias=None, lidx=None):
+                      caps, want_lp=None, bias=None, lidx=None,
+                      key=None, temps=None, tks=None, tps=None):
         """jit'd: the target-verify half of a speculative round, for
-        prompt-lookup mode (no draft model)."""
+        prompt-lookup mode (no draft model; the deterministic proposals
+        are a one-hot proposal distribution, q=None in _verify_chunk)."""
         chunk = jnp.concatenate([t[:, None], g], axis=1)  # [B, K+1]
-        return self._verify_chunk(chunk, lens, bt, k_pages, k_scales,
-                                  active, want_lp, bias, lidx)
-
-    def _ngram_eligible(self) -> bool:
-        if self.ngram_spec <= 0 or self._spec_disabled or self.waiting:
-            return False
-        for req in self.slots:
-            if req is None:
-                continue
-            if req.temperature > 0.0:
-                return False
-            if req.max_new_tokens - len(req.output) < self.ngram_spec + 1:
-                return False
-        return True
+        return self._verify_chunk(chunk, None, caps, lens, bt, k_pages,
+                                  k_scales, active, want_lp, bias, lidx,
+                                  key, temps, tks, tps)
 
     def _ngram_propose(self, seq: np.ndarray) -> Optional[np.ndarray]:
         """Longest-n-gram prompt lookup: match the context's trailing
@@ -1161,7 +1289,7 @@ class ServingEngine:
             return cont
         return None
 
-    def _ngram_all(self) -> bool:
+    def _ngram_all(self, caps: np.ndarray) -> bool:
         """One prompt-lookup round; returns False (and does nothing)
         when no slot has a candidate continuation."""
         k = self.ngram_spec
@@ -1176,20 +1304,24 @@ class ServingEngine:
                 [req.prompt, np.asarray(req.output, np.int32)])
             t[s] = seq[-1]
             prop = self._ngram_propose(seq)
-            if prop is not None:
+            if prop is not None and caps[s] > 1:
                 g[s] = prop
                 counted[s] = True
         if not counted.any():
             return False
+        # candidate-less slots verify only their pending token (their
+        # position-1..K logits would otherwise 'accept' garbage)
+        caps = np.where(counted, caps, 1).astype(np.int32)
         active = np.array([r is not None for r in self.slots])
         want_lp = (jnp.zeros((), jnp.int32) if any(
             r is not None and r.want_logprobs for r in self.slots)
             else None)
+        key, temps, tks, tps = self._spec_sampling_args()
         (a, lp, n_emit, m, self.k_pages, self.k_scales) = self._ngram_jit(
             jnp.asarray(t), jnp.asarray(g), jnp.asarray(self.slot_lens),
             self._block_table(), self.k_pages, self.k_scales,
-            jnp.asarray(active), want_lp, self._bias_matrix(),
-            self._lora_row())
+            jnp.asarray(active), jnp.asarray(caps), want_lp,
+            self._bias_matrix(), self._lora_row(), key, temps, tks, tps)
         # no-candidate slots still commit >= 1 token (the verify's a_0
         # is the target's own next token) but don't count toward
         # acceptance — their zero-filled 'drafts' would skew the rate

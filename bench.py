@@ -44,6 +44,8 @@ def log(msg):
 def bench_decode(batch=8, hq=32, hkv=8, d=128, ctx=4096, page=16,
                  dtype=jnp.bfloat16, quantized=False, fused=True,
                  ppcb=None, n_iters=100):
+    # quantized: False | True (int8) | a payload dtype (e.g. fp8 e4m3)
+    qdt = (quantized if quantized not in (False, True) else jnp.int8)
     rng = np.random.default_rng(0)
     n_pages_seq = ctx // page
     num_pages = batch * n_pages_seq + 1
@@ -67,9 +69,9 @@ def bench_decode(batch=8, hq=32, hkv=8, d=128, ctx=4096, page=16,
             to_fused_layout,
         )
 
-        if quantized:
-            kq, ks = quantize_kv(kf, jnp.int8)
-            vq, vs = quantize_kv(vf, jnp.int8)
+        if quantized is not False:
+            kq, ks = quantize_kv(kf, qdt)
+            vq, vs = quantize_kv(vf, qdt)
             kv, sc = to_fused_layout(kq, vq, ks, vs)
             fn = jax.jit(lambda q, kv, sc: paged_attention_fused(
                 q, kv, bt, lens, kv_scales=sc,
@@ -81,9 +83,9 @@ def bench_decode(batch=8, hq=32, hkv=8, d=128, ctx=4096, page=16,
                 q, kv, bt, lens, pages_per_compute_block=ppcb,
                 interpret=False))
             dt = devtime(fn, q, kv, n_iters=n_iters)
-    elif quantized:
-        kq, ks = quantize_kv(kf, jnp.int8)
-        vq, vs = quantize_kv(vf, jnp.int8)
+    elif quantized is not False:
+        kq, ks = quantize_kv(kf, qdt)
+        vq, vs = quantize_kv(vf, qdt)
         fn = jax.jit(lambda q, kq, vq, ks, vs: paged_attention(
             q, kq, vq, bt, lens, k_scales=ks, v_scales=vs,
             pages_per_compute_block=ppcb, interpret=False))
@@ -183,6 +185,14 @@ def main():
             f"({dt_i8*1e3:.3f} ms)")
     except Exception as e:  # pragma: no cover
         log(f"int8 decode failed: {e!r:.300}")
+
+    try:
+        toks_f8, dt_f8 = bench_decode(quantized=jnp.float8_e4m3fn,
+                                      fused=True)
+        log(f"paged decode fp8-e4m3 fused B8 ctx4096: {toks_f8:,.0f} "
+            f"tok/s ({dt_f8*1e3:.3f} ms)")
+    except Exception as e:  # pragma: no cover
+        log(f"fp8 decode failed: {e!r:.300}")
 
     try:
         toks_hm, dt_hm = bench_decode(dtype=jnp.bfloat16, fused=False)

@@ -116,6 +116,8 @@ def test_gpt2_forward_tensor_parallel(params):
 
     from aule_tpu.parallel.mesh import make_mesh
 
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
     mesh = make_mesh((2, 2), ("data", "model"),
                      devices=jax.devices()[:4])
     sharded = jax.device_put(
@@ -140,6 +142,8 @@ def test_engine_gpt2_tensor_parallel_fused(params, quant):
     rng = np.random.default_rng(4)
     prompts = [rng.integers(0, 256, size=n).astype(np.int32)
                for n in (7, 13)]
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
     outs = {}
     for mesh in (None, make_mesh((1, 2), ("data", "model"),
                                  devices=jax.devices()[:2])):

@@ -109,6 +109,8 @@ def test_decode_step_tensor_parallel(params):
     the single-device decode step exactly."""
     from aule_tpu.parallel.mesh import make_mesh
 
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
     mesh = make_mesh((4, 2), ("data", "model"))
     rng = np.random.default_rng(3)
     batch, page, num_pages, max_pages = 2, 16, 32, 8
@@ -154,6 +156,8 @@ def test_engine_tensor_parallel(params):
     prompts = [rng.integers(0, 256, size=n).astype(np.int32)
                for n in (7, 13)]
 
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
     outs = {}
     for mesh in (None, make_mesh((1, 2), ("data", "model"),
                                  devices=jax.devices()[:2])):
@@ -226,6 +230,8 @@ def test_engine_tensor_parallel_fused(params, quantized):
     prompts = [rng.integers(0, 256, size=n).astype(np.int32)
                for n in (7, 13)]
 
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
     outs = {}
     for mesh in (None, make_mesh((1, 2), ("data", "model"),
                                  devices=jax.devices()[:2])):

@@ -4,11 +4,13 @@ BASELINE.json requires <=5e-3 max-abs error vs the f32 reference for
 quantized-KV attention outputs.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from aule_tpu.ops.paged import paged_attention
+from aule_tpu.ops import quant
 from aule_tpu.ops.quant import dequantize_kv, quantize_kv
 from aule_tpu.ops.reference import paged_attention_reference
 from tests.test_paged import make_cache
@@ -79,3 +81,19 @@ def test_paged_decode_quantized_equals_dequantized_reference():
         np.asarray(dequantize_kv(vq, vs)), bt, ctx)
     err = np.abs(np.asarray(got) - np.asarray(want)).max()
     assert err < 3e-5, f"fold-vs-dequant mismatch {err}"
+
+
+def test_e4m3_expand_bit_exact():
+    """quant.e4m3_expand (the in-kernel integer-bit-math fp8 decoder;
+    v5e has no fp8 hardware and Mosaic's software cast is ~6x slower)
+    must match XLA's own float8_e4m3fn -> f32 cast on every one of the
+    254 non-NaN byte codes, including +-0 and all subnormals."""
+    bits = np.arange(256, dtype=np.uint8)
+    f8 = jax.lax.bitcast_convert_type(
+        jnp.asarray(bits), jnp.float8_e4m3fn)
+    ref = np.asarray(f8.astype(jnp.float32))
+    got = np.asarray(quant.e4m3_expand(
+        jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.int8)))
+    ok = ~np.isnan(ref)  # 0x7f/0xff NaN codes never occur in pools
+    assert np.array_equal(ref[ok], got[ok])
+    assert np.array_equal(np.signbit(ref[ok]), np.signbit(got[ok]))

@@ -118,11 +118,12 @@ def test_spec_eos_mid_round(params, draft_params):
                    spec_tokens=4) == want
 
 
-def test_spec_mixed_batch_falls_back_then_recovers(params, draft_params):
-    """A temperature-sampled request in the batch disables spec rounds
-    (plain decode, draft pool lags); once it retires, spec resumes via
-    the lag-recovery catchup and the greedy request's tokens still match
-    its solo plain-greedy run."""
+def test_spec_mixed_batch_keeps_speculating(params, draft_params):
+    """A temperature-sampled request no longer suspends speculation for
+    the batch (round-3 verdict: eligibility was all-or-nothing): the
+    sampled slot rejection-samples inside the same verify dispatch while
+    the greedy slot's tokens stay identical to its solo plain-greedy
+    run."""
     rng = np.random.default_rng(5)
     greedy_prompt = rng.integers(0, 256, size=6).astype(np.int32)
     hot_prompt = rng.integers(0, 256, size=4).astype(np.int32)
@@ -133,10 +134,14 @@ def test_spec_mixed_batch_falls_back_then_recovers(params, draft_params):
                         max_seq_len=256, draft_params=draft_params,
                         draft_cfg=DRAFT_CFG, spec_tokens=2)
     gid = eng.submit(greedy_prompt, max_new_tokens=14)
-    eng.submit(hot_prompt, max_new_tokens=4, temperature=0.8)
+    hid = eng.submit(hot_prompt, max_new_tokens=4, temperature=0.8)
     done = {r.req_id: r for r in eng.run()}
     assert done[gid].output == plain[0]
-    assert eng.spec_drafted > 0  # spec resumed after the hot one retired
+    assert len(done[hid].output) == 4
+    assert eng.spec_drafted > 0
+    # both requests ran the whole time, so the mixed stretch speculated:
+    # fewer decode dispatches than the 14 greedy tokens would need alone
+    assert eng.spec_rounds >= 3
 
 
 def test_spec_checkpoint_roundtrip(params, draft_params, tmp_path):
@@ -313,3 +318,134 @@ def test_spec_adaptive_disable(params, draft_params):
                      draft_cfg=CFG, spec_tokens=1,
                      spec_min_acceptance=0.5)
     assert spec == plain and not eng._spec_disabled
+
+
+# ---------------------------------------------------------------------------
+# rejection-sampling speculation for temperature > 0 requests (round 4).
+# Net-new vs the reference (no serving loop, SURVEY.md §2.4); the math is
+# Leviathan et al. speculative sampling: accept draft g with probability
+# min(1, p(g)/q(g)), resample rejects from norm((p-q)^+) — every emitted
+# token is exactly target-distributed.
+# ---------------------------------------------------------------------------
+
+def test_spec_sampled_topk1_matches_greedy(params, draft_params):
+    """top_k=1 at any temperature is a degenerate one-hot distribution,
+    so spec-sampled output must be TOKEN-IDENTICAL to plain greedy —
+    a sharp end-to-end check of the warp plumbing (temperature scaling +
+    top-k restriction on both the draft proposals and the target's
+    accept/residual/bonus distributions)."""
+    rng = np.random.default_rng(20)
+    prompts = [rng.integers(0, 256, size=n).astype(np.int32)
+               for n in (6, 9)]
+    greedy, _ = _run(params, prompts, 10)
+    eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256, draft_params=draft_params,
+                        draft_cfg=DRAFT_CFG, spec_tokens=2)
+    ids = [eng.submit(p, max_new_tokens=10, temperature=5.0, top_k=1)
+           for p in prompts]
+    done = {r.req_id: r for r in eng.run()}
+    assert [done[i].output for i in ids] == greedy
+    assert eng.spec_rounds > 0
+
+
+def test_spec_sampled_logit_bias_forces_token(params, draft_params):
+    """A huge logit_bias pins the warped target distribution to one
+    token; rejection sampling must emit it every time even though the
+    draft (which never sees the bias) proposes other tokens — i.e. the
+    residual resample draws from the BIASED warped distribution."""
+    rng = np.random.default_rng(21)
+    prompt = rng.integers(0, 256, size=5).astype(np.int32)
+    eng = ServingEngine(params, CFG, max_batch=1, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256, draft_params=draft_params,
+                        draft_cfg=DRAFT_CFG, spec_tokens=3)
+    eng.submit(prompt, max_new_tokens=8, temperature=1.0,
+               logit_bias={7: 1e9})
+    out = eng.run()[0].output
+    assert out == [7] * 8
+    assert eng.spec_rounds > 0
+
+
+def test_spec_per_slot_budget_caps(params, draft_params):
+    """A request whose remaining budget can't take a full K+1 round
+    participates with a 1-token verify instead of suspending speculation
+    for the whole batch; the long greedy request still matches its solo
+    plain-greedy stream and the short one completes exactly."""
+    rng = np.random.default_rng(22)
+    long_prompt = rng.integers(0, 256, size=6).astype(np.int32)
+    short_prompt = rng.integers(0, 256, size=4).astype(np.int32)
+    plain, _ = _run(params, [long_prompt], 12)
+    plain_short, _ = _run(params, [short_prompt], 2)
+
+    eng = ServingEngine(params, CFG, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256, draft_params=draft_params,
+                        draft_cfg=DRAFT_CFG, spec_tokens=4)
+    lid = eng.submit(long_prompt, max_new_tokens=12)
+    sid = eng.submit(short_prompt, max_new_tokens=2)  # < K+1 budget
+    done = {r.req_id: r for r in eng.run()}
+    assert done[lid].output == plain[0]
+    assert done[sid].output == plain_short[0]
+    assert eng.spec_rounds > 0
+
+
+def test_spec_sampled_distribution_chi2():
+    """Spec-sampled output distribution must match plain sampling: over
+    a tiny vocab, many independent requests with the same prompt, the
+    empirical distribution of the first spec-round token (output[1])
+    under speculation is compared to plain decode's with a two-sample
+    chi-squared homogeneity test.  Deterministic given the fixed seeds,
+    so this either always passes or flags a real distribution bug."""
+    cfg = llama.LlamaConfig.tiny(vocab_size=16, dim=64, n_layers=1,
+                                 n_heads=2, hidden_dim=128)
+    dcfg = llama.LlamaConfig.tiny(vocab_size=16, dim=32, n_layers=1,
+                                  n_heads=2, hidden_dim=64)
+    tparams = llama.init_params(cfg, jax.random.key(30))
+    dparams = llama.init_params(dcfg, jax.random.key(31))
+    prompt = np.asarray([3, 1, 4, 1], np.int32)
+    n_req = 192
+
+    def collect(**kw):
+        eng = ServingEngine(tparams, cfg, max_batch=8, page_size=16,
+                            num_pages=192, max_pages_per_seq=2,
+                            max_seq_len=32, sample_seed=5, **kw)
+        ids = [eng.submit(prompt, max_new_tokens=4, temperature=1.0)
+               for _ in range(n_req)]
+        done = {r.req_id: r for r in eng.run()}
+        return np.asarray([done[i].output[1] for i in ids]), eng
+
+    plain, _ = collect()
+    spec, eng = collect(draft_params=dparams, draft_cfg=dcfg,
+                        spec_tokens=2)
+    assert eng.spec_rounds > 0 and eng.spec_accepted > 0
+    n1 = np.bincount(plain, minlength=16).astype(np.float64)
+    n2 = np.bincount(spec, minlength=16).astype(np.float64)
+    pooled = (n1 + n2) / (n1.sum() + n2.sum())
+    e1, e2 = pooled * n1.sum(), pooled * n2.sum()
+    keep = pooled > 0
+    chi2 = (((n1 - e1) ** 2 / np.maximum(e1, 1e-9))[keep].sum()
+            + ((n2 - e2) ** 2 / np.maximum(e2, 1e-9))[keep].sum())
+    dof = int(keep.sum()) - 1
+    # p=0.001 critical value for dof<=15 is < 37.7; anything near that
+    # on matched distributions would be a wild outlier
+    assert chi2 < 37.7 + 2.0 * max(0, dof - 15), (chi2, dof, n1, n2)
+
+
+def test_spec_sampled_reproducible(params, draft_params):
+    """Same sample_seed + same submission order => identical sampled
+    streams across engines (the verify's accept/resample draws chain
+    from the engine RNG like plain decode's)."""
+    rng = np.random.default_rng(23)
+    prompt = rng.integers(0, 256, size=6).astype(np.int32)
+
+    def run_once():
+        eng = ServingEngine(params, CFG, max_batch=1, page_size=16,
+                            num_pages=64, max_pages_per_seq=8,
+                            max_seq_len=256, sample_seed=9,
+                            draft_params=draft_params,
+                            draft_cfg=DRAFT_CFG, spec_tokens=2)
+        eng.submit(prompt, max_new_tokens=8, temperature=0.9)
+        return eng.run()[0].output
+
+    assert run_once() == run_once()
