@@ -142,11 +142,20 @@ def _merge(x):
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
-def _qkv(layer, h, cfg):
+def _qkv(layer, h, cfg, ll=None, lora_idx=None):
+    """QKV projections; the qkv-major [3, dim, H*Dh] layout maps the
+    engine's per-projection LoRA targets (wq/wk/wv) onto slices of the
+    fused weight (llama.py::_lora_proj semantics, one adapter bank API
+    across model families)."""
+    from .llama import _lora_proj
+
     w, bias = layer["w_qkv"], layer["qkv_b"]
-    return (_split(h @ w[0] + bias[0], cfg.n_heads, cfg.head_dim),
-            _split(h @ w[1] + bias[1], cfg.n_heads, cfg.head_dim),
-            _split(h @ w[2] + bias[2], cfg.n_heads, cfg.head_dim))
+    return (_split(_lora_proj(h, w[0], ll, "wq", lora_idx) + bias[0],
+                   cfg.n_heads, cfg.head_dim),
+            _split(_lora_proj(h, w[1], ll, "wk", lora_idx) + bias[1],
+                   cfg.n_heads, cfg.head_dim),
+            _split(_lora_proj(h, w[2], ll, "wv", lora_idx) + bias[2],
+                   cfg.n_heads, cfg.head_dim))
 
 
 def _mlp(layer, x, cfg):
@@ -167,6 +176,8 @@ def forward(
     mesh=None,
     data_axis: str = "data",
     model_axis: str = "model",
+    lora=None,
+    lora_idx: Optional[jnp.ndarray] = None,
 ):
     """Causal-LM forward; returns logits [B, S, V] (+ per-layer (k, v)).
 
@@ -186,15 +197,19 @@ def forward(
     b, s = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    from .llama import _lora_at, _lora_proj
+
     x = params["wte"][tokens] + params["wpe"][positions]
     kv_out = []
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
+        ll = _lora_at(lora, li)
         h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], cfg.norm_eps)
-        q, k, v = _qkv(layer, h, cfg)
+        q, k, v = _qkv(layer, h, cfg, ll, lora_idx)
         if return_kv:
             kv_out.append((k, v))
         attn = attn_fn(q, k, v)
-        x = x + _merge(attn) @ layer["w_proj"] + layer["proj_b"]
+        x = x + (_lora_proj(_merge(attn), layer["w_proj"], ll, "wo",
+                            lora_idx) + layer["proj_b"])
         x = _mlp(layer, x, cfg)
     x = layer_norm(x, params["final_ln_g"], params["final_ln_b"],
                    cfg.norm_eps)
@@ -217,6 +232,8 @@ def decode_step_fused(
     kv_scales: Optional[List[jnp.ndarray]] = None,
     mesh=None,
     model_axis: str = "model",
+    lora=None,
+    lora_idx: Optional[jnp.ndarray] = None,
 ):
     """One decode step over fused pools (signature mirrors llama's).
 
@@ -255,22 +272,29 @@ def decode_step_fused(
     else:
         attend = _attend_local
 
+    from .llama import _lora_at, _lora_proj
+
     x = params["wte"][token] + params["wpe"][positions]
     new_kv, new_sc = [], []
     lens_out = context_lens
     for li, layer in enumerate(params["layers"]):
+        ll = _lora_at(lora, li)
         h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], cfg.norm_eps)
         w, bias = layer["w_qkv"], layer["qkv_b"]
-        q = (h @ w[0] + bias[0]).reshape(-1, cfg.n_heads, cfg.head_dim)
-        k = (h @ w[1] + bias[1]).reshape(-1, cfg.n_heads, cfg.head_dim)
-        v = (h @ w[2] + bias[2]).reshape(-1, cfg.n_heads, cfg.head_dim)
+        q = (_lora_proj(h, w[0], ll, "wq", lora_idx)
+             + bias[0]).reshape(-1, cfg.n_heads, cfg.head_dim)
+        k = (_lora_proj(h, w[1], ll, "wk", lora_idx)
+             + bias[1]).reshape(-1, cfg.n_heads, cfg.head_dim)
+        v = (_lora_proj(h, w[2], ll, "wv", lora_idx)
+             + bias[2]).reshape(-1, cfg.n_heads, cfg.head_dim)
         sci = kv_scales[li] if quantized else jnp.zeros((), jnp.float32)
         attn, kv, sc, lens_out = attend(
             q, k, v, kv_pages[li], sci, block_tables, context_lens)
         if quantized:
             new_sc.append(sc)
         new_kv.append(kv)
-        x = x + attn.reshape(-1, cfg.dim) @ layer["w_proj"] + layer["proj_b"]
+        x = x + (_lora_proj(attn.reshape(-1, cfg.dim), layer["w_proj"],
+                            ll, "wo", lora_idx) + layer["proj_b"])
         x = _mlp(layer, x, cfg)
     x = layer_norm(x, params["final_ln_g"], params["final_ln_b"],
                    cfg.norm_eps)
@@ -294,6 +318,8 @@ def prefill_step_fused(
     mesh=None,
     model_axis: str = "model",
     all_logits: bool = False,
+    lora=None,
+    lora_idx: Optional[jnp.ndarray] = None,
 ):
     """Chunked prefill over fused pools (signature mirrors llama's).
 
@@ -336,21 +362,25 @@ def prefill_step_fused(
     else:
         attend = _attend_local
 
+    from .llama import _lora_at, _lora_proj
+
     b, s_chunk = tokens.shape
     positions = q_offsets[:, None] + jnp.arange(s_chunk, dtype=jnp.int32)
     x = params["wte"][tokens] + params["wpe"][positions]
     new_kv, new_sc = [], []
     lens_out = q_offsets + seq_lens
     for li, layer in enumerate(params["layers"]):
+        ll = _lora_at(lora, li)
         h = layer_norm(x, layer["ln1_g"], layer["ln1_b"], cfg.norm_eps)
-        q, k, v = _qkv(layer, h, cfg)
+        q, k, v = _qkv(layer, h, cfg, ll, lora_idx)
         sci = kv_scales[li] if quantized else jnp.zeros((), jnp.float32)
         attn, kv, sc, lens_out = attend(
             q, k, v, kv_pages[li], sci, block_tables, q_offsets, seq_lens)
         if quantized:
             new_sc.append(sc)
         new_kv.append(kv)
-        x = x + _merge(attn) @ layer["w_proj"] + layer["proj_b"]
+        x = x + (_lora_proj(_merge(attn), layer["w_proj"], ll, "wo",
+                            lora_idx) + layer["proj_b"])
         x = _mlp(layer, x, cfg)
     if all_logits:
         xn = layer_norm(x, params["final_ln_g"], params["final_ln_b"],

@@ -151,6 +151,8 @@ def forward(
     mesh=None,
     data_axis: str = "data",
     model_axis: str = "model",
+    lora=None,
+    lora_idx=None,
 ):
     """Causal-LM forward; `moe_mlp(layer, x, cfg)` pluggable so the EP
     wrapper reuses this exact skeleton.  With return_aux, also returns
@@ -165,19 +167,25 @@ def forward(
     x = params["embed"][tokens]
     kv_out = []
     aux = 0.0
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
+        ll = llama._lora_at(lora, li)
         h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = llama._split_heads(h @ layer["wq"], cfg.n_heads, cfg.head_dim)
-        k = llama._split_heads(h @ layer["wk"], cfg.n_kv_heads,
-                               cfg.head_dim)
-        v = llama._split_heads(h @ layer["wv"], cfg.n_kv_heads,
-                               cfg.head_dim)
+        q = llama._split_heads(
+            llama._lora_proj(h, layer["wq"], ll, "wq", lora_idx),
+            cfg.n_heads, cfg.head_dim)
+        k = llama._split_heads(
+            llama._lora_proj(h, layer["wk"], ll, "wk", lora_idx),
+            cfg.n_kv_heads, cfg.head_dim)
+        v = llama._split_heads(
+            llama._lora_proj(h, layer["wv"], ll, "wv", lora_idx),
+            cfg.n_kv_heads, cfg.head_dim)
         q = apply_rope(q, rope_cos, rope_sin)
         k = apply_rope(k, rope_cos, rope_sin)
         if return_kv:
             kv_out.append((k, v))
         attn = attn_fn(q, k, v)
-        x = x + llama._merge_heads(attn) @ layer["wo"]
+        x = x + llama._lora_proj(llama._merge_heads(attn), layer["wo"],
+                                 ll, "wo", lora_idx)
         h = llama.rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
         if return_aux:
             w, rl = _gating(layer, h.reshape(-1, cfg.dim), cfg)
@@ -324,6 +332,8 @@ def decode_step_fused(
     mesh=None,
     model_axis: str = "model",
     moe_mlp=None,
+    lora=None,
+    lora_idx=None,
 ):
     """One decode step over fused pools with the routed-MoE MLP.  The
     attention append+attend matches llama.decode_step_fused (incl. the
@@ -372,10 +382,14 @@ def decode_step_fused(
     sn = rope_sin[positions][:, None, :]
     half = cfg.head_dim // 2
     for li, layer in enumerate(params["layers"]):
+        ll = llama._lora_at(lora, li)
         h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = (h @ layer["wq"]).reshape(-1, cfg.n_heads, cfg.head_dim)
-        k = (h @ layer["wk"]).reshape(-1, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ layer["wv"]).reshape(-1, cfg.n_kv_heads, cfg.head_dim)
+        q = llama._lora_proj(h, layer["wq"], ll, "wq", lora_idx).reshape(
+            -1, cfg.n_heads, cfg.head_dim)
+        k = llama._lora_proj(h, layer["wk"], ll, "wk", lora_idx).reshape(
+            -1, cfg.n_kv_heads, cfg.head_dim)
+        v = llama._lora_proj(h, layer["wv"], ll, "wv", lora_idx).reshape(
+            -1, cfg.n_kv_heads, cfg.head_dim)
         q = jnp.concatenate(
             [q[..., :half] * c - q[..., half:] * sn,
              q[..., :half] * sn + q[..., half:] * c],
@@ -392,7 +406,9 @@ def decode_step_fused(
         if quantized:
             new_sc.append(sc)
         new_kv.append(kv)
-        x = x + attn.reshape(-1, cfg.n_heads * cfg.head_dim) @ layer["wo"]
+        x = x + llama._lora_proj(
+            attn.reshape(-1, cfg.n_heads * cfg.head_dim), layer["wo"],
+            ll, "wo", lora_idx)
         h = llama.rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
         x = x + mlp(layer, h[:, None, :], cfg)[:, 0]
 
@@ -418,6 +434,8 @@ def prefill_step_fused(
     model_axis: str = "model",
     moe_mlp=None,
     all_logits: bool = False,
+    lora=None,
+    lora_idx=None,
 ):
     """Chunked prefill over fused pools with the routed-MoE MLP
     (mirrors llama.prefill_step_fused, incl. all_logits=True returning
@@ -464,12 +482,17 @@ def prefill_step_fused(
     new_kv, new_sc = [], []
     lens_out = q_offsets + seq_lens
     for li, layer in enumerate(params["layers"]):
+        ll = llama._lora_at(lora, li)
         h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = llama._split_heads(h @ layer["wq"], cfg.n_heads, cfg.head_dim)
-        k = llama._split_heads(h @ layer["wk"], cfg.n_kv_heads,
-                               cfg.head_dim)
-        v = llama._split_heads(h @ layer["wv"], cfg.n_kv_heads,
-                               cfg.head_dim)
+        q = llama._split_heads(
+            llama._lora_proj(h, layer["wq"], ll, "wq", lora_idx),
+            cfg.n_heads, cfg.head_dim)
+        k = llama._split_heads(
+            llama._lora_proj(h, layer["wk"], ll, "wk", lora_idx),
+            cfg.n_kv_heads, cfg.head_dim)
+        v = llama._split_heads(
+            llama._lora_proj(h, layer["wv"], ll, "wv", lora_idx),
+            cfg.n_kv_heads, cfg.head_dim)
         q = apply_rope(q, rope_cos, rope_sin, positions[:, None])
         k = apply_rope(k, rope_cos, rope_sin, positions[:, None])
 
@@ -480,7 +503,8 @@ def prefill_step_fused(
         if quantized:
             new_sc.append(sc)
         new_kv.append(kv)
-        x = x + llama._merge_heads(attn) @ layer["wo"]
+        x = x + llama._lora_proj(llama._merge_heads(attn), layer["wo"],
+                                 ll, "wo", lora_idx)
         h = llama.rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
         x = x + mlp(layer, h, cfg)
 

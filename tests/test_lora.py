@@ -132,13 +132,100 @@ def test_lora_validation(params):
                         max_seq_len=256, lora_params={"x": adapter})
     with pytest.raises(ValueError, match="unknown LoRA"):
         eng.submit(np.asarray([1, 2], np.int32), 4, lora="nope")
+
+
+# ---------------------------------------------------------------------------
+# multi-LoRA beyond the Llama family (round-4; r3 verdict item 5: the
+# engine rejected GPT-2/MoE).  Same exactness bar: adapter request ==
+# merged-weights engine, co-batched base request untouched.
+# ---------------------------------------------------------------------------
+
+def _family_adapter(key, dims, n_layers, rank=4, scale=0.2):
+    layers = []
+    for _ in range(n_layers):
+        entry = {}
+        for t, (d_in, d_out) in dims.items():
+            key, k1, k2 = jax.random.split(key, 3)
+            entry[t] = (
+                jax.random.normal(k1, (d_in, rank), jnp.float32) * scale,
+                jax.random.normal(k2, (rank, d_out), jnp.float32) * scale)
+        layers.append(entry)
+    return {"layers": layers}
+
+
+def _run_family(model, params, cfg, prompts, reqs, **engine_kw):
+    eng = ServingEngine(params, cfg, max_batch=2, page_size=16,
+                        num_pages=64, max_pages_per_seq=8,
+                        max_seq_len=256, model=model, **engine_kw)
+    ids = [eng.submit(p, **kw) for p, kw in zip(prompts, reqs)]
+    done = {r.req_id: r for r in eng.run()}
+    return [done[i].output for i in ids]
+
+
+def test_lora_gpt2_matches_merged_weights():
+    """GPT-2's fused qkv-major weight takes per-projection adapters:
+    wq/wk/wv map onto w_qkv[0..2] columns, wo onto w_proj."""
     from aule_tpu.models import gpt2
-    gp = gpt2.init_params(gpt2.GPT2Config.tiny(), jax.random.key(6))
-    with pytest.raises(ValueError, match="does not support LoRA"):
-        ServingEngine(gp, gpt2.GPT2Config.tiny(), max_batch=1,
-                      page_size=16, num_pages=64, max_pages_per_seq=8,
-                      max_seq_len=256, model=gpt2,
+
+    cfg = gpt2.GPT2Config.tiny()
+    params = gpt2.init_params(cfg, jax.random.key(11))
+    adapter = _family_adapter(
+        jax.random.key(12),
+        {"wq": (cfg.dim, cfg.dim), "wv": (cfg.dim, cfg.dim),
+         "wo": (cfg.dim, cfg.dim)}, cfg.n_layers)
+
+    merged = dict(params)
+    merged["layers"] = []
+    slot = {"wq": 0, "wk": 1, "wv": 2}
+    for li, layer in enumerate(params["layers"]):
+        nl = dict(layer)
+        w = jnp.asarray(layer["w_qkv"], jnp.float32)
+        for t, (a, b) in adapter["layers"][li].items():
+            if t == "wo":
+                nl["w_proj"] = (layer["w_proj"].astype(jnp.float32)
+                                + a @ b).astype(layer["w_proj"].dtype)
+            else:
+                w = w.at[slot[t]].add(a @ b)
+        nl["w_qkv"] = w.astype(layer["w_qkv"].dtype)
+        merged["layers"].append(nl)
+
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, 256, size=9).astype(np.int32)
+    kw = dict(max_new_tokens=6)
+    base = _run_family(gpt2, params, cfg, [prompt], [kw])[0]
+    want = _run_family(gpt2, merged, cfg, [prompt], [kw])[0]
+    assert want != base
+
+    got = _run_family(gpt2, params, cfg, [prompt, prompt],
+                      [dict(kw, lora="x"), kw],
+                      lora_params={"x": adapter}, prefill_chunk=8)
+    assert got == [want, base]
+
+
+def test_lora_moe_matches_merged_weights():
+    from aule_tpu.models import moe
+
+    cfg = moe.MoEConfig.tiny()
+    params = moe.init_params(cfg, jax.random.key(13))
+    qkv = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    adapter = _family_adapter(
+        jax.random.key(14),
+        {"wq": (cfg.dim, qkv), "wk": (cfg.dim, kvd), "wo": (qkv, cfg.dim)},
+        cfg.n_layers)
+    merged = merge(params, adapter)  # same wq/wk/wv/wo keys as llama
+
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(0, 256, size=7).astype(np.int32)
+    kw = dict(max_new_tokens=5)
+    base = _run_family(moe, params, cfg, [prompt], [kw])[0]
+    want = _run_family(moe, merged, cfg, [prompt], [kw])[0]
+    assert want != base
+
+    got = _run_family(moe, params, cfg, [prompt, prompt],
+                      [dict(kw, lora="x"), kw],
                       lora_params={"x": adapter})
+    assert got == [want, base]
 
 
 def test_prefix_cache_is_lora_aware(params):
