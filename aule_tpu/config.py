@@ -53,6 +53,12 @@ class TileConfig:
     # split layout is DMA-issue-bound and flat in ppcb)
     pages_per_compute_block: int = 8
     pages_per_compute_block_fused: int = 32
+    # diagonal-strip causal schedule: None = global default (2, the r4
+    # sweep winner at every D=128 shape: S4096 117.8/111.2 vs strips4
+    # 112.0/106.8 TF/s, S2048 89.3 vs 80.0, S8192 127.5 vs 124.1);
+    # 0 = diag off for shapes where the generic walk measures faster
+    # (D=256).  AULE_FLASH_DIAG_STRIPS still overrides at trace time.
+    diag_strips: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -105,17 +111,23 @@ class TileRule:
 # Short-seq and D-keyed rows are sweepable via scripts/tune_blocks.py;
 # bounds below encode the r3 sweep (probe_shape_tune.py medians).
 _V5E_RULES = [
+    # D>=256 tiles carry 2x bytes; _pick_blocks additionally divides
+    # the row budget by D/128.  r4 sweep (B2 H16/4 S4096 D256 causal):
+    # generic bq256(x4 group)/bkv2048/c512 = 117.7 TF/s beats the diag
+    # schedule's 112.5 — the wide head amortizes the mask VPU cost over
+    # 2x MXU work per element, so diag's group=1 K/V re-reads don't pay.
+    # FIRST: head_dim opinions outrank the seq-keyed rows below, which
+    # were tuned at D=128 (r4 chip check: the short-seq row used to
+    # capture D256/S2048 and hand it D128 geometry).
+    TileRule(TileConfig(block_q=2048, block_kv=4096,
+                        block_kv_compute=512, diag_strips=0),
+             min_head_dim=256, note="wide heads"),
     # S<=2048: the 4096-wide DMA tile leaves ~1.3 live chunks per grid
     # step and per-step overhead dominates (B8/S2048 was 38.7%); r3
     # sweep: see scripts/probe_shape_tune.py
     TileRule(TileConfig(block_q=1024, block_kv=2048,
                         block_kv_compute=1024),
              max_seq=2048, note="short-seq prefill"),
-    # D>=256 tiles carry 2x bytes; _pick_blocks additionally divides
-    # the row budget by D/128
-    TileRule(TileConfig(block_q=1024, block_kv=2048,
-                        block_kv_compute=1024),
-             min_head_dim=256, note="wide heads"),
     # non-causal maskless chunks peak wider: c2048 = 154 vs c1024 = 145
     # TF/s (r2 probe_bodycount medians; causal keeps c1024 for the
     # diagonal-aligned bq == bkvc walk)
@@ -224,12 +236,16 @@ def flash_diag() -> bool:
     return _knob_bool(get_config().flash_diag, "AULE_FLASH_DIAG", True)
 
 
-def flash_diag_strips() -> int:
+def flash_diag_strips(default: int = 2) -> int:
+    """Strip count for the diagonal causal schedule.  Priority:
+    AuleConfig field > env var > `default` (the matching TileRule's
+    diag_strips when it has an opinion, else the global 2 — the r4
+    chip sweep winner; see TileConfig.diag_strips)."""
     cfg = get_config()
     if cfg.flash_diag_strips is not None:
         return cfg.flash_diag_strips
     import os
-    return int(os.environ.get("AULE_FLASH_DIAG_STRIPS", "4"))
+    return int(os.environ.get("AULE_FLASH_DIAG_STRIPS", str(default)))
 
 
 def flash_diag_pair() -> bool:

@@ -597,13 +597,19 @@ def flash_attention_fwd(
     diag_bq = tiles.block_q // d_scale
     if jnp.dtype(q.dtype).itemsize >= 4:
         diag_bq = min(diag_bq, 512)
+    # strip count: tile-rule opinion (diag_strips=0 rules shapes where
+    # the generic walk measures faster, e.g. D>=256) under the usual
+    # env/config override chain
+    rule_strips = (tiles.diag_strips if tiles.diag_strips is not None
+                   else 2)
     if (causal and window <= 0 and kv_len is None
             and seq_q == seq_k and seq_q % diag_bq == 0
             and block_q is None and block_kv_compute is None
             and flash_diag()):
-        diag_strips = flash_diag_strips()
-        group = 1
-        block_q, block_kv_compute = diag_bq, diag_bq
+        diag_strips = flash_diag_strips(rule_strips)
+        group = 1 if diag_strips > 0 else group
+        if diag_strips > 0:
+            block_q, block_kv_compute = diag_bq, diag_bq
 
     bq, bkv, bkvc = _pick_blocks(
         seq_q, seq_k, group, jnp.dtype(q.dtype).itemsize, window,

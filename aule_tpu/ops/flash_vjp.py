@@ -372,10 +372,12 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
     from ..config import flash_diag, flash_diag_strips
     dq_group, dq_bq, dq_bkv, dq_strips = group, bq, bkv, 0
     diag_bq = min(tiles.block_q_dq // d_scale, 1024)
+    rule_strips = (tiles.diag_strips if tiles.diag_strips is not None
+                   else 2)
     if (causal and window <= 0 and seq_q == seq_k
             and seq_q % diag_bq == 0 and diag_bq >= 32
-            and flash_diag()):
-        dq_strips = flash_diag_strips()
+            and flash_diag() and rule_strips > 0):
+        dq_strips = flash_diag_strips(rule_strips)
         if (diag_bq % dq_strips == 0 and diag_bq // dq_strips >= 8
                 and not q_ragged and not k_ragged
                 and seq_q % diag_bq == 0):
