@@ -739,7 +739,7 @@ class ServingEngine:
                 tokens = seqs[s][lo:lo + k + 1][None]
                 self.dk_pages, self.dk_scales = \
                     self._prefill_chunk_draft_jit(
-                        jnp.asarray(tokens, jnp.int32),
+                        self._weights(), jnp.asarray(tokens, jnp.int32),
                         jnp.asarray([lo], jnp.int32),
                         jnp.asarray([k + 1], jnp.int32), bt_row,
                         self.dk_pages, self.dk_scales)
@@ -757,7 +757,7 @@ class ServingEngine:
         key, temps, tks, tps = self._spec_sampling_args()
         (a, lp, n_emit, m, self.k_pages, self.k_scales, self.dk_pages,
          self.dk_scales) = self._spec_jit(
-            jnp.asarray(catchup), jnp.asarray(clen),
+            self._weights(), jnp.asarray(catchup), jnp.asarray(clen),
             jnp.asarray(self.slot_dlens), jnp.asarray(self.slot_lens),
             self._block_table(), self.k_pages, self.k_scales,
             self.dk_pages, self.dk_scales, jnp.asarray(active),
@@ -903,17 +903,17 @@ class ServingEngine:
             bt[s, :len(pages)] = pages
         return jnp.asarray(bt)
 
-    def _prefill(self, tokens, true_len, bt_row, k_pages, v_pages,
+    def _prefill(self, w, tokens, true_len, bt_row, k_pages, v_pages,
                  k_scales, v_scales, lidx=None, *, pad_len):
         """jit'd: forward + scatter prompt KV into pages for one request.
 
         tokens: [1, pad_len]; true_len: [1] valid-token count (padding
         tokens are masked out of the scatter); returns
         (logits, k_pages, v_pages, k_scales, v_scales)."""
-        kw = self._lora_kw(lidx)
+        kw = self._lora_kw(w.get("lora"), lidx)
         logits, kv = self.model.forward(
-            self.params, tokens, self.cfg,
-            rope_cos=self.rope_cos, rope_sin=self.rope_sin, return_kv=True,
+            w["params"], tokens, self.cfg,
+            rope_cos=w["rope"][0], rope_sin=w["rope"][1], return_kv=True,
             mesh=self.mesh, model_axis=self.model_axis, **kw)
         zero = jnp.zeros((1,), jnp.int32)
         fused_append = self._fused_prefill_append()
@@ -972,34 +972,35 @@ class ServingEngine:
             out_specs=(P(None, None, ma, None, None), sc_spec),
             check_vma=False)
 
-    def _prefill_chunk_step(self, tokens, q_offset, seq_len, bt_row,
+    def _prefill_chunk_step(self, w, tokens, q_offset, seq_len, bt_row,
                             k_pages, k_scales, lidx=None):
         """jit'd: one chunk of chunked prefill for one request."""
         L = self.cfg.n_layers
         pools = [k_pages[i] for i in range(L)]
-        kw = self._lora_kw(lidx)
+        kw = self._lora_kw(w.get("lora"), lidx)
+        rc, rs = w["rope"]
         if self.quantized:
             logits, kvs, _, scs = self.model.prefill_step_fused(
-                self.params, tokens, q_offset, seq_len, pools,
-                bt_row[None], self.cfg, self.rope_cos, self.rope_sin,
+                w["params"], tokens, q_offset, seq_len, pools,
+                bt_row[None], self.cfg, rc, rs,
                 kv_scales=[k_scales[i] for i in range(L)],
                 mesh=self.mesh, model_axis=self.model_axis, **kw)
             return logits, jnp.stack(kvs), jnp.stack(scs)
         logits, kvs, _ = self.model.prefill_step_fused(
-            self.params, tokens, q_offset, seq_len, pools,
-            bt_row[None], self.cfg, self.rope_cos, self.rope_sin,
+            w["params"], tokens, q_offset, seq_len, pools,
+            bt_row[None], self.cfg, rc, rs,
             mesh=self.mesh, model_axis=self.model_axis, **kw)
         return logits, jnp.stack(kvs), k_scales
 
-    def _prefill_draft(self, tokens, true_len, bt_row, dk_pages,
+    def _prefill_draft(self, w, tokens, true_len, bt_row, dk_pages,
                        dk_scales, *, pad_len):
         """jit'd: forward + fused scatter of the prompt KV into the DRAFT
         pool (speculative decoding).  Logits are discarded — the first
         generated token always comes from the target model."""
         del pad_len  # shape is in tokens; kept for bucket-keyed jit
         _, kv = self.draft_model.forward(
-            self.draft_params, tokens, self.draft_cfg,
-            rope_cos=self.draft_rope_cos, rope_sin=self.draft_rope_sin,
+            w["draft"], tokens, self.draft_cfg,
+            rope_cos=w["drope"][0], rope_sin=w["drope"][1],
             return_kv=True, mesh=self.mesh, model_axis=self.model_axis)
         zero = jnp.zeros((1,), jnp.int32)
         fused_append = self._fused_prefill_append()
@@ -1016,27 +1017,26 @@ class ServingEngine:
             dk_pages = dk_pages.at[li].set(kvp)
         return dk_pages, dk_scales
 
-    def _prefill_chunk_draft_step(self, tokens, q_offset, seq_len, bt_row,
-                                  dk_pages, dk_scales):
+    def _prefill_chunk_draft_step(self, w, tokens, q_offset, seq_len,
+                                  bt_row, dk_pages, dk_scales):
         """jit'd: one chunked-prefill step through the DRAFT model."""
         L = self.draft_cfg.n_layers
         pools = [dk_pages[i] for i in range(L)]
+        drc, drs = w["drope"]
         if self.quantized:
             _, kvs, _, scs = self.draft_model.prefill_step_fused(
-                self.draft_params, tokens, q_offset, seq_len, pools,
-                bt_row[None], self.draft_cfg, self.draft_rope_cos,
-                self.draft_rope_sin,
+                w["draft"], tokens, q_offset, seq_len, pools,
+                bt_row[None], self.draft_cfg, drc, drs,
                 kv_scales=[dk_scales[i] for i in range(L)],
                 mesh=self.mesh, model_axis=self.model_axis)
             return jnp.stack(kvs), jnp.stack(scs)
         _, kvs, _ = self.draft_model.prefill_step_fused(
-            self.draft_params, tokens, q_offset, seq_len, pools,
-            bt_row[None], self.draft_cfg, self.draft_rope_cos,
-            self.draft_rope_sin,
+            w["draft"], tokens, q_offset, seq_len, pools,
+            bt_row[None], self.draft_cfg, drc, drs,
             mesh=self.mesh, model_axis=self.model_axis)
         return jnp.stack(kvs), dk_scales
 
-    def _spec_step(self, catchup, catchup_len, dlens, lens, bt,
+    def _spec_step(self, w, catchup, catchup_len, dlens, lens, bt,
                    k_pages, k_scales, dk_pages, dk_scales, active,
                    caps, want_lp=None, bias=None, lidx=None, key=None,
                    temps=None, tks=None, tps=None):
@@ -1074,17 +1074,15 @@ class ServingEngine:
         dpools = [dk_pages[i] for i in range(ld)]
         if self.quantized:
             dlogits, dkvs, _, dscs = self.draft_model.prefill_step_fused(
-                self.draft_params, catchup, dlens, catchup_len, dpools,
-                bt, self.draft_cfg, self.draft_rope_cos,
-                self.draft_rope_sin,
+                w["draft"], catchup, dlens, catchup_len, dpools,
+                bt, self.draft_cfg, w["drope"][0], w["drope"][1],
                 kv_scales=[dk_scales[i] for i in range(ld)],
                 mesh=self.mesh, model_axis=self.model_axis)
             dk_pages, dk_scales = jnp.stack(dkvs), jnp.stack(dscs)
         else:
             dlogits, dkvs, _ = self.draft_model.prefill_step_fused(
-                self.draft_params, catchup, dlens, catchup_len, dpools,
-                bt, self.draft_cfg, self.draft_rope_cos,
-                self.draft_rope_sin,
+                w["draft"], catchup, dlens, catchup_len, dpools,
+                bt, self.draft_cfg, w["drope"][0], w["drope"][1],
                 mesh=self.mesh, model_axis=self.model_axis)
             dk_pages = jnp.stack(dkvs)
 
@@ -1112,17 +1110,15 @@ class ServingEngine:
             pools_i = [dkp[j] for j in range(ld)]
             if self.quantized:
                 lg, kvs, _, scs = self.draft_model.decode_step_fused(
-                    self.draft_params, tok, pos, pools_i, bt, pos,
-                    self.draft_cfg, self.draft_rope_cos,
-                    self.draft_rope_sin,
+                    w["draft"], tok, pos, pools_i, bt, pos,
+                    self.draft_cfg, w["drope"][0], w["drope"][1],
                     kv_scales=[dsc[j] for j in range(ld)],
                     mesh=self.mesh, model_axis=self.model_axis)
                 dsc = jnp.stack(scs)
             else:
                 lg, kvs, _ = self.draft_model.decode_step_fused(
-                    self.draft_params, tok, pos, pools_i, bt, pos,
-                    self.draft_cfg, self.draft_rope_cos,
-                    self.draft_rope_sin,
+                    w["draft"], tok, pos, pools_i, bt, pos,
+                    self.draft_cfg, w["drope"][0], w["drope"][1],
                     mesh=self.mesh, model_axis=self.model_axis)
             nxt, qn = propose(lg, i + 1)
             return (nxt, jnp.stack(kvs), dsc), (nxt, qn)
@@ -1143,13 +1139,13 @@ class ServingEngine:
             catchup, jnp.maximum(catchup_len - 1, 0)[:, None], axis=1)
         chunk = jnp.concatenate([t, g], axis=1)  # [B, K+1]
         a, lp, n_emit, m, k_pages, k_scales = self._verify_chunk(
-            chunk, q, caps, lens, bt, k_pages, k_scales, active, want_lp,
-            bias, lidx, key, temps, tks, tps)
+            w, chunk, q, caps, lens, bt, k_pages, k_scales, active,
+            want_lp, bias, lidx, key, temps, tks, tps)
         return a, lp, n_emit, m, k_pages, k_scales, dk_pages, dk_scales
 
-    def _verify_chunk(self, chunk, q, caps, lens, bt, k_pages, k_scales,
-                      active, want_lp, bias, lidx=None, key=None,
-                      temps=None, tks=None, tps=None):
+    def _verify_chunk(self, w, chunk, q, caps, lens, bt, k_pages,
+                      k_scales, active, want_lp, bias, lidx=None,
+                      key=None, temps=None, tks=None, tps=None):
         """jit-traceable target verify shared by both speculation modes:
         ONE chunked prefill over chunk = [t, g_0..g_{K-1}] with
         per-position logits.
@@ -1175,19 +1171,19 @@ class ServingEngine:
             active, jnp.minimum(caps, K + 1), 0).astype(jnp.int32)
         lt = self.cfg.n_layers
         pools = [k_pages[i] for i in range(lt)]
-        lkw = self._lora_kw(lidx)
+        lkw = self._lora_kw(w.get("lora"), lidx)
         if self.quantized:
             logits, kvs, _, scs = self.model.prefill_step_fused(
-                self.params, chunk, lens, vlen, pools, bt, self.cfg,
-                self.rope_cos, self.rope_sin,
+                w["params"], chunk, lens, vlen, pools, bt, self.cfg,
+                w["rope"][0], w["rope"][1],
                 kv_scales=[k_scales[i] for i in range(lt)],
                 all_logits=True, mesh=self.mesh,
                 model_axis=self.model_axis, **lkw)
             k_pages, k_scales = jnp.stack(kvs), jnp.stack(scs)
         else:
             logits, kvs, _ = self.model.prefill_step_fused(
-                self.params, chunk, lens, vlen, pools, bt, self.cfg,
-                self.rope_cos, self.rope_sin, all_logits=True,
+                w["params"], chunk, lens, vlen, pools, bt, self.cfg,
+                w["rope"][0], w["rope"][1], all_logits=True,
                 mesh=self.mesh, model_axis=self.model_axis, **lkw)
             k_pages = jnp.stack(kvs)
         biased = (logits + bias[:, None, :] if bias is not None
@@ -1254,16 +1250,16 @@ class ServingEngine:
         n_emit = jnp.minimum(m + 1, caps).astype(jnp.int32)
         return a, lp, n_emit, n_emit - 1, k_pages, k_scales
 
-    def _ngram_verify(self, t, g, lens, bt, k_pages, k_scales, active,
-                      caps, want_lp=None, bias=None, lidx=None,
+    def _ngram_verify(self, w, t, g, lens, bt, k_pages, k_scales,
+                      active, caps, want_lp=None, bias=None, lidx=None,
                       key=None, temps=None, tks=None, tps=None):
         """jit'd: the target-verify half of a speculative round, for
         prompt-lookup mode (no draft model; the deterministic proposals
         are a one-hot proposal distribution, q=None in _verify_chunk)."""
         chunk = jnp.concatenate([t[:, None], g], axis=1)  # [B, K+1]
-        return self._verify_chunk(chunk, None, caps, lens, bt, k_pages,
-                                  k_scales, active, want_lp, bias, lidx,
-                                  key, temps, tks, tps)
+        return self._verify_chunk(w, chunk, None, caps, lens, bt,
+                                  k_pages, k_scales, active, want_lp,
+                                  bias, lidx, key, temps, tks, tps)
 
     def _ngram_propose(self, seq: np.ndarray) -> Optional[np.ndarray]:
         """Longest-n-gram prompt lookup: match the context's trailing
@@ -1318,7 +1314,8 @@ class ServingEngine:
             else None)
         key, temps, tks, tps = self._spec_sampling_args()
         (a, lp, n_emit, m, self.k_pages, self.k_scales) = self._ngram_jit(
-            jnp.asarray(t), jnp.asarray(g), jnp.asarray(self.slot_lens),
+            self._weights(), jnp.asarray(t), jnp.asarray(g),
+            jnp.asarray(self.slot_lens),
             self._block_table(), self.k_pages, self.k_scales,
             jnp.asarray(active), jnp.asarray(caps), want_lp,
             self._bias_matrix(), self._lora_row(), key, temps, tks, tps)
@@ -1347,7 +1344,8 @@ class ServingEngine:
             tokens[0, :len(chunk)] = chunk
             self.prefill_dispatches += 1
             logits, self.k_pages, self.k_scales = self._prefill_chunk_jit(
-                jnp.asarray(tokens), jnp.asarray([off], jnp.int32),
+                self._weights(), jnp.asarray(tokens),
+                jnp.asarray([off], jnp.int32),
                 jnp.asarray([len(chunk)], jnp.int32), bt,
                 self.k_pages, self.k_scales, self._lora_idx_for(req))
         self.slot_lens[slot] = n
@@ -1363,7 +1361,8 @@ class ServingEngine:
                 dtok[0, :len(chunk)] = chunk
                 self.dk_pages, self.dk_scales = \
                     self._prefill_chunk_draft_jit(
-                        jnp.asarray(dtok), jnp.asarray([off], jnp.int32),
+                        self._weights(), jnp.asarray(dtok),
+                        jnp.asarray([off], jnp.int32),
                         jnp.asarray([len(chunk)], jnp.int32), bt,
                         self.dk_pages, self.dk_scales)
             self.slot_dlens[slot] = n
@@ -1411,7 +1410,8 @@ class ServingEngine:
         lidx = self._lora_idx_for(req)
         (logits, self.k_pages, self.v_pages, self.k_scales,
          self.v_scales) = self._prefill_jit(
-            jnp.asarray(tokens), jnp.asarray([n], jnp.int32),
+            self._weights(), jnp.asarray(tokens),
+            jnp.asarray([n], jnp.int32),
             jnp.asarray(bt), self.k_pages, self.v_pages,
             self.k_scales, self.v_scales, lidx, pad_len=pad_len)
         # note: padded tail tokens scatter garbage beyond n, but
@@ -1422,7 +1422,8 @@ class ServingEngine:
             # the draft pool must hold the prompt KV too (its decode
             # steps attend to the whole committed prefix)
             self.dk_pages, self.dk_scales = self._prefill_draft_jit(
-                jnp.asarray(tokens), jnp.asarray([n], jnp.int32),
+                self._weights(), jnp.asarray(tokens),
+                jnp.asarray([n], jnp.int32),
                 jnp.asarray(bt), self.dk_pages, self.dk_scales,
                 pad_len=pad_len)
             self.slot_dlens[slot] = n
@@ -1455,9 +1456,27 @@ class ServingEngine:
             return None
         return jnp.asarray([self._lora_names[req.lora]], jnp.int32)
 
-    def _lora_kw(self, lidx):
-        return ({"lora": self.lora, "lora_idx": lidx}
-                if self.lora is not None and lidx is not None else {})
+    def _weights(self):
+        """Every device array the jitted dispatches read, as ONE pytree
+        ARGUMENT.  jit-closure capture embeds arrays as HLO constants,
+        so compile payloads would scale with model size (the ctx-8k
+        pool lesson, VALIDATION.md 'Mosaic constraints'; a mid-size
+        llama blew the remote-compile body limit) — and weight updates
+        would recompile every executable.  Keys are static per engine
+        lifetime (lora/draft present iff configured), so executables
+        stay stable."""
+        w = {"params": self.params,
+             "rope": (self.rope_cos, self.rope_sin)}
+        if self.lora is not None:
+            w["lora"] = self.lora
+        if self.spec_tokens > 0:
+            w["draft"] = self.draft_params
+            w["drope"] = (self.draft_rope_cos, self.draft_rope_sin)
+        return w
+
+    def _lora_kw(self, lora, lidx):
+        return ({"lora": lora, "lora_idx": lidx}
+                if lora is not None and lidx is not None else {})
 
     def _bias_matrix(self):
         """[B, V] additive logit bias, or None when no running request
@@ -1540,9 +1559,9 @@ class ServingEngine:
                                jnp.asarray(tok).reshape(1))[0]
         return tok, logp
 
-    def _decode_step(self, tokens, positions, bt, lens, k_pages, v_pages,
-                     k_scales, v_scales, key, temps, tks=None, tps=None,
-                     want_lp=None, bias=None, lidx=None):
+    def _decode_step(self, w, tokens, positions, bt, lens, k_pages,
+                     v_pages, k_scales, v_scales, key, temps, tks=None,
+                     tps=None, want_lp=None, bias=None, lidx=None):
         # want_lp rides as None (a static pytree shape) unless some
         # running request asked for logprobs — the common executable
         # skips the vocab-wide log_softmax + host logp transfer entirely
@@ -1551,31 +1570,32 @@ class ServingEngine:
                     if want_lp is not None else None)
 
         L = self.cfg.n_layers
-        lkw = self._lora_kw(lidx)
+        lkw = self._lora_kw(w.get("lora"), lidx)
+        rc, rs = w["rope"]
         if self.layout == "fused":
             pools = [k_pages[i] for i in range(L)]
             if self.quantized:
                 logits, kvs, new_lens, scs = self.model.decode_step_fused(
-                    self.params, tokens, positions, pools, bt, lens,
-                    self.cfg, self.rope_cos, self.rope_sin,
+                    w["params"], tokens, positions, pools, bt, lens,
+                    self.cfg, rc, rs,
                     kv_scales=[k_scales[i] for i in range(L)],
                     mesh=self.mesh, model_axis=self.model_axis, **lkw)
                 nxt = self._sample_dev(logits, key, temps, tks, tps, bias)
                 return (nxt, lp(logits, nxt), jnp.stack(kvs),
                         v_pages, new_lens, jnp.stack(scs), v_scales)
             logits, kvs, new_lens = self.model.decode_step_fused(
-                self.params, tokens, positions, pools, bt, lens,
-                self.cfg, self.rope_cos, self.rope_sin,
+                w["params"], tokens, positions, pools, bt, lens,
+                self.cfg, rc, rs,
                 mesh=self.mesh, model_axis=self.model_axis, **lkw)
             nxt = self._sample_dev(logits, key, temps, tks, tps, bias)
             return (nxt, lp(logits, nxt), jnp.stack(kvs),
                     v_pages, new_lens, k_scales, v_scales)
         if self.quantized:
             logits, kps, vps, new_lens, kss, vss = self.model.decode_step(
-                self.params, tokens, positions,
+                w["params"], tokens, positions,
                 [k_pages[i] for i in range(L)],
                 [v_pages[i] for i in range(L)],
-                bt, lens, self.cfg, self.rope_cos, self.rope_sin,
+                bt, lens, self.cfg, rc, rs,
                 k_scales=[k_scales[i] for i in range(L)],
                 v_scales=[v_scales[i] for i in range(L)],
                 mesh=self.mesh, model_axis=self.model_axis)
@@ -1584,24 +1604,25 @@ class ServingEngine:
                     jnp.stack(kps), jnp.stack(vps), new_lens,
                     jnp.stack(kss), jnp.stack(vss))
         logits, kps, vps, new_lens = self.model.decode_step(
-            self.params, tokens, positions,
+            w["params"], tokens, positions,
             [k_pages[i] for i in range(L)],
             [v_pages[i] for i in range(L)],
-            bt, lens, self.cfg, self.rope_cos, self.rope_sin,
+            bt, lens, self.cfg, rc, rs,
             mesh=self.mesh, model_axis=self.model_axis)
         next_tokens = self._sample_dev(logits, key, temps, tks, tps, bias)
         return (next_tokens, lp(logits, next_tokens),
                 jnp.stack(kps), jnp.stack(vps), new_lens,
                 k_scales, v_scales)
 
-    def _decode_multi(self, tokens, positions, bt, lens, k_pages, v_pages,
-                      k_scales, v_scales, key, temps, tks=None, tps=None,
-                      want_lp=None, bias=None, lidx=None, *, n_steps):
+    def _decode_multi(self, w, tokens, positions, bt, lens, k_pages,
+                      v_pages, k_scales, v_scales, key, temps, tks=None,
+                      tps=None, want_lp=None, bias=None, lidx=None, *,
+                      n_steps):
         """jit'd: n_steps decode steps in one dispatch (lax.scan)."""
         def body(carry, t):
             tok, pos, ln, kp, vp, ks, vs = carry
             nxt, logp, kp, vp, new_ln, ks, vs = self._decode_step(
-                tok, pos, bt, ln, kp, vp, ks, vs,
+                w, tok, pos, bt, ln, kp, vp, ks, vs,
                 jax.random.fold_in(key, t), temps, tks, tps, want_lp,
                 bias, lidx)
             return (nxt, pos + 1, new_ln, kp, vp, ks, vs), (nxt, logp)
@@ -1646,7 +1667,8 @@ class ServingEngine:
         if multi:
             (toks, logps, self.k_pages, self.v_pages, new_lens,
              self.k_scales, self.v_scales) = self._decode_multi_jit(
-                jnp.asarray(tokens), lens, self._block_table(), lens,
+                self._weights(), jnp.asarray(tokens), lens,
+                self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
                 step_key, temps, tks, tps, want_lp, bias, lidx,
                 n_steps=k)
@@ -1655,7 +1677,8 @@ class ServingEngine:
         else:
             (next_tokens, logps, self.k_pages, self.v_pages, new_lens,
              self.k_scales, self.v_scales) = self._decode_jit(
-                jnp.asarray(tokens), lens, self._block_table(), lens,
+                self._weights(), jnp.asarray(tokens), lens,
+                self._block_table(), lens,
                 self.k_pages, self.v_pages, self.k_scales, self.v_scales,
                 step_key, temps, tks, tps, want_lp, bias, lidx)
             next_np = np.asarray(next_tokens)[None]
