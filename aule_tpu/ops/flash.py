@@ -476,6 +476,151 @@ def _fwd_kernel(
                     lse_ref.dtype).reshape(group, block_q, NUM_LANES)
 
 
+def _win_kernel(
+    *refs,
+    scale: float,
+    window: int,
+    group: int,
+    block_q: int,
+    n_pre: int,
+    win_strips: int,
+    use_rope: bool,
+    return_lse: bool,
+):
+    """Causal sliding-window schedule: single-pass banded strips.
+
+    The generic schedule wastes ~90% of the machine on windows
+    (BENCH_GRID r2/r3: 18.5 TFLOP/s effective at W=256/S=4096).  Two
+    designs were chip-measured on the way here: walking the whole kv
+    axis with compute-skipped dead steps (the r2/r3 shape-tuned path,
+    2.7-3.7 ms at B4/S4096/W256) and a live-band kv grid with online
+    softmax across n_pre+1 chunk steps (2.6-2.7 ms, insensitive to
+    strip count — per-grid-step cost dominated).  This kernel removes
+    the kv grid axis entirely:
+
+      * grid = (batch, kv_heads, q_blocks) — every step is fully
+        parallel, no "arbitrary" dim, no cross-step state;
+      * the q block's whole live band arrives as n_pre+1 SEPARATE kv
+        inputs (the diag chunk at block i plus n_pre predecessors;
+        index maps clamp below block 0 and the in-kernel mask kills the
+        clamped columns via an explicit cols >= 0 term);
+      * strip t (q rows rs..rs+sh of every head in the GQA group) sees
+        ONE contiguous col span [rs-W, rs+sh) of that band, assembled
+        by static slices + concat from the chunk refs, so each strip is
+        one [group*sh, w<=W+sh+128] score matmul and — because a strip
+        covers its entire live span at once — ONE SINGLE-PASS softmax:
+        no running (m, l), no rescale chain, no scratch, and the strip
+        writes its o_ref rows directly.  Computing per-strip rectangles
+        does ~(W+sh)/(W+1) of the band's work (the analog of
+        _diag_body's triangle strips; the reference's block-skip
+        algebra, attention_f32_fast.comp:119-155, at sub-tile
+        granularity).
+
+    Preconditions (wrapper gate): causal, 0 < W < seq, seq_q == seq_k,
+    seq % bq == 0.
+    """
+    refs = list(refs)
+    n_kv_in = n_pre + 1
+    q_ref = refs[0]
+    k_refs = refs[1:1 + n_kv_in]
+    v_refs = refs[1 + n_kv_in:1 + 2 * n_kv_in]
+    rest = refs[1 + 2 * n_kv_in:]
+    if use_rope:
+        cosq_ref, sinq_ref = rest[0], rest[1]
+        cosk_refs = rest[2:2 + n_kv_in]
+        sink_refs = rest[2 + n_kv_in:2 + 2 * n_kv_in]
+        rest = rest[2 + 2 * n_kv_in:]
+    o_ref = rest.pop(0)
+    lse_ref = rest.pop(0) if return_lse else None
+
+    i = pl.program_id(2)
+    d = q_ref.shape[-1]
+    sh = block_q // win_strips
+    band = n_kv_in * block_q  # virtual band: chunks i-n_pre .. i
+
+    mxu_precision = (jax.lax.Precision.HIGHEST
+                     if q_ref.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+
+    def gather_cols(chunk_refs, lo: int, hi: int):
+        """[hi-lo, D] rows of the virtual band via static slices."""
+        parts = []
+        for c in range(n_kv_in):
+            p0, p1 = max(lo, c * block_q), min(hi, (c + 1) * block_q)
+            if p0 < p1:
+                parts.append(chunk_refs[c][0, 0, p0 - c * block_q:
+                                           p1 - c * block_q])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    def gather_rope(tab_refs, lo: int, hi: int):
+        parts = []
+        for c in range(n_kv_in):
+            p0, p1 = max(lo, c * block_q), min(hi, (c + 1) * block_q)
+            if p0 < p1:
+                parts.append(tab_refs[c][p0 - c * block_q:
+                                         p1 - c * block_q])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    for t in range(win_strips):
+        rs = t * sh
+        # strip t's live cols in band coordinates (row pos rs+x maps to
+        # band pos n_pre*bq + rs + x), rounded out to 128-lane groups
+        lo = max(0, (n_pre * block_q + rs - window)
+                 // NUM_LANES * NUM_LANES)
+        hi = min(band, _round_up(n_pre * block_q + rs + sh, NUM_LANES))
+        w = hi - lo
+        q = (q_ref[0, :, rs:rs + sh].astype(jnp.float32)
+             * (scale * LOG2E)).astype(q_ref.dtype)        # [g, sh, D]
+        kk = gather_cols(k_refs, lo, hi)                   # [w, D]
+        if use_rope:
+            cosq = jnp.broadcast_to(
+                cosq_ref[rs:rs + sh][None],
+                (group, sh, cosq_ref.shape[-1]))
+            sinq = jnp.broadcast_to(
+                sinq_ref[rs:rs + sh][None],
+                (group, sh, sinq_ref.shape[-1]))
+            q = _apply_rope_tile(
+                q.astype(jnp.float32), cosq, sinq).astype(q_ref.dtype)
+            kk = _apply_rope_tile(
+                kk.astype(jnp.float32), gather_rope(cosk_refs, lo, hi),
+                gather_rope(sink_refs, lo, hi)).astype(kk.dtype)
+        s = jax.lax.dot_general(
+            q.reshape(group * sh, d), kk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision,
+        ).reshape(group, sh, w)
+        # causal + window + band-underflow masks (positions are
+        # head-invariant: build [sh, w] once, broadcast over the group).
+        # cols >= 0 kills the clamped below-block-0 chunks at i < n_pre.
+        rows_pos = jax.lax.broadcasted_iota(
+            jnp.int32, (sh, w), 0) + i * block_q + rs
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (sh, w), 1)
+                + (i - n_pre) * block_q + lo)
+        mask = jnp.logical_and(
+            jnp.logical_and(rows_pos >= cols, cols >= 0),
+            rows_pos - cols <= window)
+        s = jnp.where(mask[None], s, DEFAULT_MASK_VALUE)
+        # single-pass softmax: the strip sees its ENTIRE live span, so
+        # no online (m, l) chain is needed (rows always include their
+        # own diagonal position — never fully masked)
+        m = jnp.max(s, axis=2, keepdims=True)              # [g, sh, 1]
+        p = jnp.exp2(s - m)
+        p = jnp.where(mask[None], p, 0.0)
+        l = jnp.sum(p, axis=2, keepdims=True, dtype=jnp.float32)
+        vv = gather_cols(v_refs, lo, hi)
+        o = jax.lax.dot_general(
+            p.astype(v_refs[0].dtype).reshape(group * sh, w), vv,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision,
+        ).reshape(group, sh, d)
+        o_ref[0, :, rs:rs + sh] = (o / l).astype(o_ref.dtype)
+        if return_lse:
+            lse = (m + jnp.log2(l)) * 0.6931471805599453
+            lse_ref[0, :, rs:rs + sh] = jnp.broadcast_to(
+                lse, (group, sh, NUM_LANES)).astype(lse_ref.dtype)
+
+
 def _pick_blocks(
     seq_q: int,
     seq_k: int,
@@ -535,6 +680,143 @@ def _pick_blocks(
     return bq, bkv, bkvc
 
 
+def _maybe_window_fwd(q, k, v, *, causal, scale, window, rope_cos,
+                      rope_sin, return_lse, kv_len, block_q, block_kv,
+                      block_kv_compute, interpret):
+    """Dispatch to the banded window-strip schedule (_win_kernel) when
+    the shape qualifies; returns None to fall through to the generic
+    schedule.  Gate: plain causal sliding window (0 < W < seq) on
+    aligned self-attention with no explicit tile overrides."""
+    import os as _os
+    if _os.environ.get("AULE_FLASH_WIN", "1") in ("0", "false"):
+        return None
+    batch, hq, seq_q, d = q.shape
+    hkv, seq_k = k.shape[1], k.shape[2]
+    group = hq // hkv
+    if not (causal and window > 0 and window < seq_k and kv_len is None
+            and seq_q == seq_k and block_q is None and block_kv is None
+            and block_kv_compute is None):
+        return None
+
+    # Rows budget: unlike the generic path (whose [rows, bkvc] f32
+    # score tile pins rows at ~1024), score tiles here are strip-sized
+    # [group*sh, <=W+sh], so rows can grow until the q/acc/m/l scratch
+    # (~rows * (2 + 4 + 4 + 4) * 128 bytes + 2 kv tiles) nears the
+    # ~16 MiB VMEM envelope — fewer, fatter grid steps.
+    d_scale = max(1, d // 128)
+    rows_budget = 4096 // d_scale
+    if jnp.dtype(q.dtype).itemsize >= 4:
+        rows_budget //= 2
+    bq = max(NUM_LANES, (rows_budget // group) // NUM_LANES * NUM_LANES)
+    bq = min(bq, seq_q)
+    # the schedule needs a real band: ceil(W/bq)+1 live chunks out of
+    # seq/bq total — shrink bq until that holds (or fall back; at that
+    # point the window saves nothing over plain causal anyway)
+    while bq > NUM_LANES and (seq_q % bq
+                              or _cdiv(window, bq) + 1 > seq_k // bq):
+        bq //= 2
+    if (bq < NUM_LANES or seq_q % bq or d % NUM_LANES
+            or _cdiv(window, bq) + 1 > seq_k // bq):
+        return None
+    win_strips = int(_os.environ.get("AULE_FLASH_WIN_STRIPS", "4"))
+    # a strip's f32 score/probability temporaries are
+    # [group*sh, w <= W+sh+128]: cap them at ~1.5 MiB (chip-validated:
+    # 4 MiB strip temps fail Mosaic allocation) by raising the strip
+    # count until the worst-case width fits
+    while (win_strips < bq // 8
+           and group * (bq // win_strips)
+           * min(window + bq // win_strips + NUM_LANES,
+                 (_cdiv(window, bq) + 1) * bq) * 4 > (3 << 19)):
+        win_strips *= 2
+    while win_strips > 1 and (bq % win_strips or (bq // win_strips) % 8):
+        win_strips //= 2
+    n_kv = seq_k // bq
+    n_pre = _cdiv(window, bq)
+
+    use_rope = rope_cos is not None
+    half_d = d // 2
+    n_q = seq_q // bq
+    grid = (batch, hkv, n_q)
+    del n_kv
+
+    def kv_index(c):  # band chunk c = kv block i - n_pre + c
+        return lambda b, hk, i, c=c: (
+            b, hk, jnp.maximum(i - n_pre + c, 0), 0)
+
+    def kv_index_rope(c):
+        return lambda b, hk, i, c=c: (jnp.maximum(i - n_pre + c, 0), 0)
+
+    n_in = n_pre + 1
+    in_specs = [
+        pl.BlockSpec((1, group, bq, d), lambda b, hk, i: (b, hk, i, 0)),
+    ]
+    in_specs += [pl.BlockSpec((1, 1, bq, d), kv_index(c))
+                 for c in range(n_in)] * 2
+    args = [q] + [k] * n_in + [v] * n_in
+    if use_rope:
+        rope_cos = jnp.asarray(rope_cos, jnp.float32)
+        rope_sin = jnp.asarray(rope_sin, jnp.float32)
+        if rope_cos.shape[0] < seq_q:
+            pad = seq_q - rope_cos.shape[0]
+            rope_cos = jnp.pad(rope_cos, ((0, pad), (0, 0)),
+                               constant_values=1.0)
+            rope_sin = jnp.pad(rope_sin, ((0, pad), (0, 0)))
+        in_specs += [
+            pl.BlockSpec((bq, half_d), lambda b, hk, i: (i, 0)),
+            pl.BlockSpec((bq, half_d), lambda b, hk, i: (i, 0)),
+        ]
+        in_specs += [pl.BlockSpec((bq, half_d), kv_index_rope(c))
+                     for c in range(n_in)] * 2
+        args += ([rope_cos, rope_sin] + [rope_cos] * n_in
+                 + [rope_sin] * n_in)
+
+    out_specs = [
+        pl.BlockSpec((1, group, bq, d), lambda b, hk, i: (b, hk, i, 0)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((batch, hq, seq_q, d), q.dtype)]
+    if return_lse:
+        out_specs.append(pl.BlockSpec(
+            (1, group, bq, NUM_LANES),
+            lambda b, hk, i: (b, hk, i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (batch, hq, seq_q, NUM_LANES), jnp.float32))
+
+    scratch_shapes = []
+    kernel = functools.partial(
+        _win_kernel, scale=float(scale), window=window, group=group,
+        block_q=bq, n_pre=n_pre, win_strips=win_strips,
+        use_rope=use_rope, return_lse=return_lse,
+    )
+    if interpret is None:
+        interpret = get_config().interpret or (
+            jax.devices()[0].platform != "tpu")
+    flops = 4 * batch * hq * seq_q * min(window + 1, seq_k) * d
+    LAST_LAYOUT.update(bq=bq, bkv=bq, bkvc=bq, group=group,
+                       diag_strips=0, win_strips=win_strips,
+                       n_pre=n_pre)
+    results = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=batch * hq * seq_q * min(window + 1, seq_k),
+        ),
+        interpret=interpret,
+    )(*args)
+    out = results[0]
+    if not return_lse:
+        return out
+    return out, results[1][..., 0]
+
+
 def flash_attention_fwd(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -582,6 +864,22 @@ def flash_attention_fwd(
         out_cast = jnp.float16
     # (softmax scale + exp->exp2 fold into the q tile INSIDE the kernel,
     # once per q-block residency — see _score)
+
+    # Banded window-strip specialization (see _win_kernel): live-band kv
+    # grid + static strip rectangles.  Taken for plain causal sliding
+    # windows on aligned self-attention shapes; everything else falls
+    # through to the generic schedule below.
+    win_out = _maybe_window_fwd(
+        q, k, v, causal=causal, scale=scale, window=window,
+        rope_cos=rope_cos, rope_sin=rope_sin, return_lse=return_lse,
+        kv_len=kv_len, block_q=block_q, block_kv=block_kv,
+        block_kv_compute=block_kv_compute, interpret=interpret)
+    if win_out is not None:
+        if out_cast is not None:
+            if return_lse:
+                return win_out[0].astype(out_cast), win_out[1]
+            return win_out.astype(out_cast)
+        return win_out
 
     # Diagonal-strip causal specialization: flatten NO heads (group=1) so
     # the q block's position span equals the kv compute chunk, making the
@@ -634,7 +932,7 @@ def flash_attention_fwd(
         v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - seq_k), (0, 0)))
 
     LAST_LAYOUT.update(bq=bq, bkv=bkv, bkvc=bkvc, group=group,
-                       diag_strips=diag_strips)
+                       diag_strips=diag_strips, win_strips=0, n_pre=0)
     n_q = sq_pad // bq
     n_kv = sk_pad // bkv
     # head grid axis walks Hq in `group`-sized flattened blocks; the kv

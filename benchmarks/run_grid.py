@@ -142,11 +142,14 @@ def main():
     print(f"{'ctx':>6} {'dtype':>6} {'ms':>8} {'tok/s':>10} {'SoL':>7}")
     for ctx in (1024, 2048, 4096, 8192):
         for quant in (False, True):
-            # sub-100us ops need long loops or the t(N)-t(1) subtraction
-            # drowns in dispatch jitter
+            # sub-100us ops need LONG loops: the t(N)-t(1) subtraction
+            # drowns in remote-dispatch jitter (+-ms) unless the loop
+            # body totals >=50ms — short-ctx rows once printed >100% of
+            # speed-of-light (r4 grid) with only 200 iters
             dt, toks, frac = bench_decode(8, 32, 8, ctx, 128,
                                           quantized=quant,
-                                          iters=max(args.iters, 200))
+                                          iters=max(args.iters,
+                                                    1_000_000 // ctx))
             label = "int8" if quant else "bf16"
             print(f"{ctx:>6} {label:>6} {dt*1e3:8.2f} {toks:10,.0f} "
                   f"{frac:6.1%}")
