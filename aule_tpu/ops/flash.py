@@ -680,6 +680,295 @@ def _pick_blocks(
     return bq, bkv, bkvc
 
 
+def _causal_kernel(
+    *refs,
+    scale: float,
+    group: int,
+    block_q: int,
+    n_sub: int,
+    strips: int,
+    use_rope: bool,
+    return_lse: bool,
+):
+    """Group-batched causal schedule for short/mid S (the r4 "v3").
+
+    The r3 diagonal-strip schedule flattens NO heads (group=1) so its
+    q blocks align with kv chunks — at the cost of Hq× more grid steps
+    (B4/S4096: 512 steps; measured per-step overhead ~3 µs dominates at
+    S ≤ 4k, BENCH_GRID).  This kernel keeps the alignment with
+    group = gqa by batching the GQA group into the SUBLANE dim and
+    stripping rows (the _win_kernel trick): every head of the group
+    shares the same q-position span, so chunk c of the in-kernel walk
+    is interior (c < i), diagonal (c == i) or dead (c > i) for the
+    whole [group, bq] block at once, and each strip is one
+    [group*sh, width] matmul.  Strips exist to cap the f32 score
+    transient, not to skip work on interior chunks; on the diagonal
+    chunk they skip the upper triangle exactly like _diag_body.
+
+    Grid = (batch, kv_heads, q_blocks) — the whole prefix rides in ONE
+    K/V DMA tile (wrapper gate caps S so it fits VMEM), so there is no
+    kv grid axis and no dead grid steps; dead CHUNKS cost one region
+    check.  4× fewer steps than the group=1 diag layout at GQA 4.
+    """
+    refs = list(refs)
+    if use_rope:
+        (q_ref, k_ref, v_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref
+         ) = refs[:7]
+        rest = refs[7:]
+    else:
+        (q_ref, k_ref, v_ref) = refs[:3]
+        rest = refs[3:]
+    o_ref = rest.pop(0)
+    lse_ref = rest.pop(0) if return_lse else None
+    (m_scr, l_scr, acc_scr) = rest
+
+    i = pl.program_id(2)
+    d = q_ref.shape[-1]
+    sh = block_q // strips
+
+    m_scr[:, :, :1] = jnp.full((group, block_q, 1), DEFAULT_MASK_VALUE,
+                               m_scr.dtype)
+    l_scr[:, :, :1] = jnp.zeros((group, block_q, 1), l_scr.dtype)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    mxu_precision = (jax.lax.Precision.HIGHEST
+                     if q_ref.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+
+    def q_strip(rs: int):
+        qs = (q_ref[0, :, rs:rs + sh].astype(jnp.float32)
+              * (scale * LOG2E)).astype(q_ref.dtype)      # [g, sh, D]
+        if use_rope:
+            cosq = jnp.broadcast_to(
+                cosq_ref[rs:rs + sh][None],
+                (group, sh, cosq_ref.shape[-1]))
+            sinq = jnp.broadcast_to(
+                sinq_ref[rs:rs + sh][None],
+                (group, sh, sinq_ref.shape[-1]))
+            qs = _apply_rope_tile(
+                qs.astype(jnp.float32), cosq, sinq).astype(q_ref.dtype)
+        return qs.reshape(group * sh, d)
+
+    def k_cols(lo: int, hi: int):
+        kk = k_ref[0, 0, lo:hi]
+        if use_rope:
+            kk = _apply_rope_tile(
+                kk.astype(jnp.float32), cosk_ref[lo:hi],
+                sink_ref[lo:hi]).astype(k_ref.dtype)
+        return kk
+
+    def update(rs: int, s, lo: int, hi: int, tri: bool):
+        """Online (m, l, acc) update for strip rows [rs, rs+sh) with
+        score tile s [g, sh, w] over kv cols [lo, hi)."""
+        w = hi - lo
+        if tri:
+            # diagonal chunk: only the trailing [sh, sh] sub-square is
+            # triangular, but one whole-strip compare is cheaper than a
+            # second region (same trade as _diag_body).  Coordinates
+            # are CHUNK-relative: this chunk IS the q block (c == i),
+            # so strip row x sits at in-chunk position rs + x and sees
+            # in-chunk cols 0..rs+x.
+            rows_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (sh, w), 0) + rs
+            cols = jax.lax.broadcasted_iota(jnp.int32, (sh, w), 1)
+            mask = rows_pos >= cols
+            s = jnp.where(mask[None], s, DEFAULT_MASK_VALUE)
+        m_prev = m_scr[:, rs:rs + sh, :1]
+        l_prev = l_scr[:, rs:rs + sh, :1]
+        m_curr = jnp.max(s, axis=2, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
+        l_scr[:, rs:rs + sh, :1] = l_prev * alpha + jnp.sum(
+            p, axis=2, keepdims=True, dtype=jnp.float32)
+        m_scr[:, rs:rs + sh, :1] = m_next
+        vv = v_ref[0, 0, lo:hi]
+        o_curr = jax.lax.dot_general(
+            p.astype(v_ref.dtype).reshape(group * sh, w), vv,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision,
+        ).reshape(group, sh, d)
+        acc_scr[:, rs:rs + sh] = acc_scr[:, rs:rs + sh] * alpha + o_curr
+
+    for c in range(n_sub):
+        lo = c * block_q
+
+        @pl.when(c < i)
+        def _interior(lo=lo):
+            kk = k_cols(lo, lo + block_q)
+            for t in range(strips):
+                rs = t * sh
+                s = jax.lax.dot_general(
+                    q_strip(rs), kk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu_precision,
+                ).reshape(group, sh, block_q)
+                update(rs, s, lo, lo + block_q, tri=False)
+
+        @pl.when(c == i)
+        def _diag(lo=lo):
+            for t in range(strips):
+                rs = t * sh
+                hi = lo + rs + sh  # strip sees cols [lo, lo+rs+sh)
+                kk = k_cols(lo, hi)
+                s = jax.lax.dot_general(
+                    q_strip(rs), kk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu_precision,
+                ).reshape(group, sh, rs + sh)
+                update(rs, s, lo, hi, tri=True)
+
+    l = l_scr[:, :, :1]
+    l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+    o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+    if return_lse:
+        m = m_scr[:, :, :1]
+        lse = jnp.where(
+            l > 0.0,
+            (m + jnp.log2(jnp.where(l > 0.0, l, 1.0)))
+            * 0.6931471805599453,
+            DEFAULT_MASK_VALUE)
+        lse_ref[0] = jnp.broadcast_to(
+            lse, (group, block_q, NUM_LANES)).astype(lse_ref.dtype)
+
+
+def _maybe_causal_fwd(q, k, v, *, causal, scale, window, rope_cos,
+                      rope_sin, return_lse, kv_len, block_q, block_kv,
+                      block_kv_compute, interpret):
+    """Dispatch to the group-batched causal schedule (_causal_kernel)
+    when explicitly enabled; None falls through.
+
+    OPT-IN (AULE_FLASH_CAUSAL_V3=1) — chip-measured SLOWER than the
+    diagonal-strip schedule and kept as a documented negative result:
+    B4/S4096 13.15 vs 5.19 ms (0.39x), B8/S2048 4.04 vs 3.16 (0.78x),
+    B8/H12 MHA S1024 0.69x, B2/H16:4 S2048 1.02x (probe_r4_causal3.py,
+    2026-08-19).  The "fewer grid steps win" premise failed: with
+    group-batched rows the per-chunk online (m,l,acc) updates walk 3-D
+    strided scratch slices and re-scale/re-rope the q strip for every
+    (chunk, strip) pair, costing more than the grid steps saved.  Kept
+    because the layout (group in sublanes + whole-prefix K/V tile) is
+    the natural one for a future generation with a bigger VMEM/smaller
+    per-step cost, and the probe makes re-evaluating it one env var."""
+    import os as _os
+    if _os.environ.get("AULE_FLASH_CAUSAL_V3", "0") not in ("1", "true"):
+        return None
+    batch, hq, seq_q, d = q.shape
+    hkv, seq_k = k.shape[1], k.shape[2]
+    group = hq // hkv
+    if not (causal and window <= 0 and kv_len is None and seq_q == seq_k
+            and block_q is None and block_kv is None
+            and block_kv_compute is None and d % NUM_LANES == 0):
+        return None
+    itemsize = jnp.dtype(q.dtype).itemsize
+    # VMEM envelope: K+V whole-prefix tiles (2 * S * D * itemsize,
+    # double-buffered by Mosaic) + q/acc/m/l rows (~8 MiB at rows=4096).
+    # Cap K+V at 2 MiB — S<=4096 bf16 D128; beyond that the r3 diag
+    # schedule already reaches 63-75% MFU (overhead amortizes with S)
+    # and this schedule's one-DMA-tile premise stops paying.
+    if seq_k * d * itemsize * 2 > (2 << 20):
+        return None
+    d_scale = max(1, d // 128)
+    # per-row VMEM ≈ 2.5 KiB·(D/128) (q+out double-buffered bf16, f32
+    # acc, f32 m+l); the whole-prefix K/V tiles eat the rest of the
+    # ~16 MiB scoped budget (chip-validated: rows=4096 + 2 MiB K/V at
+    # S=4096 OOMs at 18.9M).  Halve rows once K/V crosses 1 MiB.
+    rows_budget = (4096 if seq_k * d * itemsize * 2 <= (1 << 19)
+                   else 2048) // d_scale
+    if itemsize >= 4:
+        rows_budget //= 2
+    bq = max(NUM_LANES, (rows_budget // group) // NUM_LANES * NUM_LANES)
+    bq = min(bq, seq_q)
+    while bq > NUM_LANES and seq_q % bq:
+        bq //= 2
+    if seq_q % bq:
+        return None
+    n_sub = seq_q // bq
+    strips = int(_os.environ.get("AULE_FLASH_C3_STRIPS", "4"))
+    # cap the f32 score transient [group*sh, bq] at ~1.5 MiB
+    while (strips < bq // 8
+           and group * (bq // strips) * bq * 4 > (3 << 19)):
+        strips *= 2
+    while strips > 1 and (bq % strips or (bq // strips) % 8):
+        strips //= 2
+
+    use_rope = rope_cos is not None
+    half_d = d // 2
+    grid = (batch, hkv, n_sub)
+
+    in_specs = [
+        pl.BlockSpec((1, group, bq, d), lambda b, hk, i: (b, hk, i, 0)),
+        pl.BlockSpec((1, 1, seq_k, d), lambda b, hk, i: (b, hk, 0, 0)),
+        pl.BlockSpec((1, 1, seq_k, d), lambda b, hk, i: (b, hk, 0, 0)),
+    ]
+    args = [q, k, v]
+    if use_rope:
+        rope_cos = jnp.asarray(rope_cos, jnp.float32)
+        rope_sin = jnp.asarray(rope_sin, jnp.float32)
+        if rope_cos.shape[0] < seq_q:
+            pad = seq_q - rope_cos.shape[0]
+            rope_cos = jnp.pad(rope_cos, ((0, pad), (0, 0)),
+                               constant_values=1.0)
+            rope_sin = jnp.pad(rope_sin, ((0, pad), (0, 0)))
+        in_specs += [
+            pl.BlockSpec((bq, half_d), lambda b, hk, i: (i, 0)),
+            pl.BlockSpec((bq, half_d), lambda b, hk, i: (i, 0)),
+            pl.BlockSpec((seq_k, half_d), lambda b, hk, i: (0, 0)),
+            pl.BlockSpec((seq_k, half_d), lambda b, hk, i: (0, 0)),
+        ]
+        args += [rope_cos, rope_sin, rope_cos, rope_sin]
+
+    out_specs = [
+        pl.BlockSpec((1, group, bq, d), lambda b, hk, i: (b, hk, i, 0)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((batch, hq, seq_q, d), q.dtype)]
+    if return_lse:
+        out_specs.append(pl.BlockSpec(
+            (1, group, bq, NUM_LANES),
+            lambda b, hk, i: (b, hk, i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (batch, hq, seq_q, NUM_LANES), jnp.float32))
+
+    scratch_shapes = [
+        pltpu.VMEM((group, bq, NUM_LANES), jnp.float32),  # m
+        pltpu.VMEM((group, bq, NUM_LANES), jnp.float32),  # l
+        pltpu.VMEM((group, bq, d), jnp.float32),          # acc
+    ]
+    kernel = functools.partial(
+        _causal_kernel, scale=float(scale), group=group, block_q=bq,
+        n_sub=n_sub, strips=strips, use_rope=use_rope,
+        return_lse=return_lse,
+    )
+    if interpret is None:
+        interpret = get_config().interpret or (
+            jax.devices()[0].platform != "tpu")
+    flops = 2 * batch * hq * seq_q * seq_k * d  # causal: half of 4BHS²D
+    LAST_LAYOUT.update(bq=bq, bkv=seq_k, bkvc=bq, group=group,
+                       diag_strips=0, win_strips=0, n_pre=0,
+                       c3_strips=strips)
+    results = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=batch * hq * seq_q * seq_k // 2,
+        ),
+        interpret=interpret,
+    )(*args)
+    out = results[0]
+    if not return_lse:
+        return out
+    return out, results[1][..., 0]
+
+
 def _maybe_window_fwd(q, k, v, *, causal, scale, window, rope_cos,
                       rope_sin, return_lse, kv_len, block_q, block_kv,
                       block_kv_compute, interpret):
@@ -869,11 +1158,17 @@ def flash_attention_fwd(
     # grid + static strip rectangles.  Taken for plain causal sliding
     # windows on aligned self-attention shapes; everything else falls
     # through to the generic schedule below.
-    win_out = _maybe_window_fwd(
+    win_out = _maybe_causal_fwd(
         q, k, v, causal=causal, scale=scale, window=window,
         rope_cos=rope_cos, rope_sin=rope_sin, return_lse=return_lse,
         kv_len=kv_len, block_q=block_q, block_kv=block_kv,
         block_kv_compute=block_kv_compute, interpret=interpret)
+    if win_out is None:
+        win_out = _maybe_window_fwd(
+            q, k, v, causal=causal, scale=scale, window=window,
+            rope_cos=rope_cos, rope_sin=rope_sin, return_lse=return_lse,
+            kv_len=kv_len, block_q=block_q, block_kv=block_kv,
+            block_kv_compute=block_kv_compute, interpret=interpret)
     if win_out is not None:
         if out_cast is not None:
             if return_lse:
