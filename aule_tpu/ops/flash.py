@@ -1001,10 +1001,10 @@ def _maybe_window_fwd(q, k, v, *, causal, scale, window, rope_cos,
     # the schedule needs a real band: ceil(W/bq)+1 live chunks out of
     # seq/bq total — shrink bq until that holds (or fall back; at that
     # point the window saves nothing over plain causal anyway)
-    while bq > NUM_LANES and (seq_q % bq
+    while bq > NUM_LANES and (seq_q % bq or bq % NUM_LANES
                               or _cdiv(window, bq) + 1 > seq_k // bq):
         bq //= 2
-    if (bq < NUM_LANES or seq_q % bq or d % NUM_LANES
+    if (bq < NUM_LANES or seq_q % bq or bq % NUM_LANES or d % NUM_LANES
             or _cdiv(window, bq) + 1 > seq_k // bq):
         return None
     win_strips = int(_os.environ.get("AULE_FLASH_WIN_STRIPS", "4"))

@@ -377,3 +377,65 @@ def test_bwd_d256():
     assert_close(dq, rq, *tol, "d256 dq")
     assert_close(dk, rk, *tol, "d256 dk")
     assert_close(dv, rv, *tol, "d256 dv")
+
+
+# ---------------------------------------------------------------------------
+# round-4 window-strip kernel (_win_kernel): the dedicated causal
+# sliding-window schedule (single-pass banded strips, kv-grid-free;
+# chip-measured 4.2x/2.4x/8.9x vs full causal at S=4k/2k/8k W=256).
+# ---------------------------------------------------------------------------
+
+def test_window_strip_kernel_dispatch_and_oracle():
+    """Qualifying causal-window shapes must take the banded-strip path
+    (LAST_LAYOUT.win_strips > 0) and match the oracle, including the
+    i < n_pre left edge (clamped chunks masked by the cols>=0 term),
+    W > bq (n_pre > 1), GQA and MHA, and LSE."""
+    from aule_tpu.ops import flash
+
+    for (b, hq, hkv, s, d, w) in [(1, 8, 2, 1024, 128, 256),
+                                  (1, 4, 4, 512, 128, 100),
+                                  (1, 8, 2, 1024, 128, 700),
+                                  (1, 8, 2, 1024, 256, 256)]:
+        q, k, v = random_qkv(b, hq, s, d, heads_kv=hkv)
+        got, lse = fwd(q, k, v, causal=True, window_size=w)
+        lay = dict(flash.LAST_LAYOUT)
+        assert lay.get("win_strips", 0) > 0, (lay, (s, d, w))
+        want, wlse = attention_reference_numpy(
+            q, k, v, causal=True, window_size=w, return_lse=True)
+        assert_close(got, want, *F32_TOL, f"win-strip S={s} W={w}")
+        assert_close(lse, wlse, 1e-4, 1e-4, f"win-strip lse W={w}")
+
+
+def test_window_strip_kernel_rope_fused():
+    from aule_tpu.ops import flash
+
+    s, d = 512, 128
+    q, k, v = random_qkv(1, 4, s, d, heads_kv=2)
+    cos, sin = precompute_rope_frequencies(s, d, 10000.0)
+    out = flash_attention_fwd(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True,
+        window_size=128, rope_cos=cos, rope_sin=sin, return_lse=False)
+    assert dict(flash.LAST_LAYOUT).get("win_strips", 0) > 0
+    qr = np.asarray(apply_rope(jnp.asarray(q), cos, sin))
+    kr = np.asarray(apply_rope(jnp.asarray(k), cos, sin))
+    want = attention_reference_numpy(qr, kr, v, causal=True,
+                                     window_size=128)
+    assert_close(np.asarray(out), want, 5e-4, 5e-4, "win-strip rope")
+
+
+def test_window_nonqualifying_shapes_fall_back():
+    """Non-causal windows, W >= seq, and ragged seq stay on the generic
+    schedule — and stay correct."""
+    from aule_tpu.ops import flash
+
+    q, k, v = random_qkv(1, 4, 512, 128, heads_kv=2)
+    got, _ = fwd(q, k, v, causal=False, window_size=100)
+    assert dict(flash.LAST_LAYOUT).get("win_strips", 0) == 0
+    want = attention_reference_numpy(q, k, v, window_size=100)
+    assert_close(got, want, *F32_TOL, "non-causal window fallback")
+
+    q, k, v = random_qkv(1, 4, 320, 128, heads_kv=2)  # ragged
+    got, _ = fwd(q, k, v, causal=True, window_size=64)
+    assert dict(flash.LAST_LAYOUT).get("win_strips", 0) == 0
+    want = attention_reference_numpy(q, k, v, causal=True, window_size=64)
+    assert_close(got, want, *F32_TOL, "ragged window fallback")
