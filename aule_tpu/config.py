@@ -165,6 +165,13 @@ class AuleConfig:
       AULE_FLASH_DIAG      = 0  (disable the diagonal-strip causal
                              schedule; AULE_FLASH_DIAG_STRIPS=n,
                              AULE_FLASH_DIAG_PAIR=1 tune it)
+      AULE_FLASH_WIN       = 0  (disable the banded window-strip
+                             kernel for causal sliding windows;
+                             AULE_FLASH_WIN_STRIPS=n tunes it)
+      AULE_FLASH_CAUSAL_V3 = 1  (opt IN to the group-batched causal
+                             schedule — chip-measured slower than the
+                             default; kept for re-evaluation on future
+                             generations, see flash._maybe_causal_fwd)
 
     The kernel-schedule knobs (decode_xbatch, flash_diag*) default to
     None = read the env var LIVE at each trace, so a fallback that flips

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import get_config, get_tile_config
 from .flash import DEFAULT_MASK_VALUE, NUM_LANES
-from .quant import e4m3_expand
+from .quant import E4M3_EXPAND_SHIFT, e4m3_expand_scaled
 
 MIN_GROUP_PAD = 8
 
@@ -335,11 +335,19 @@ def _fused_decode_kernel(
             if fp8_path:
                 # e4m3 payloads arrive BITCAST as int8 (the wrapper
                 # strips the fp8 dtype before pallas_call): expand with
-                # integer shift+add bit math on the VPU — Mosaic's own
-                # software float8 cast is ~6x slower (r3 verdict)
+                # select-free integer bit math + one magic multiply
+                # (quant.e4m3_expand_scaled) — Mosaic's own software
+                # float8 cast is ~6x slower (r3 verdict), and the r4
+                # select-based expansion ran at bf16 wall speed (the
+                # VPU ate the byte win).  Payloads come out as
+                # value*2^-40; the 2^+40 folds into the kf/vf factor
+                # tiles below (one multiply per [Hkv, tokens] tile).
                 cdt = q_ref.dtype
-                k = e4m3_expand(k, cdt)
-                v = e4m3_expand(v, cdt)
+                k = e4m3_expand_scaled(k, cdt)
+                v = e4m3_expand_scaled(v, cdt)
+                comp = jnp.float32(2.0 ** E4M3_EXPAND_SHIFT)
+                kf = kf * comp
+                vf = vf * comp
             elif not int8_path:
                 cdt = q_ref.dtype
                 k = k.astype(cdt)
@@ -815,8 +823,11 @@ def _fused_prefill_kernel(
                 sc_buf[slot], hkv, page_size, ppcb)
             cdt = q_ref.dtype
             if fp8_path:  # e4m3 bitcast as int8; see _fused_decode_kernel
-                k = e4m3_expand(k, cdt)
-                v = e4m3_expand(v, cdt)
+                k = e4m3_expand_scaled(k, cdt)
+                v = e4m3_expand_scaled(v, cdt)
+                comp = jnp.float32(2.0 ** E4M3_EXPAND_SHIFT)
+                kf = kf * comp
+                vf = vf * comp
             else:
                 k = k.astype(cdt)
                 v = v.astype(cdt)

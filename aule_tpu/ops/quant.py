@@ -86,3 +86,35 @@ def e4m3_expand(x_i8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     sub = jnp.bitwise_and(em, 0x7).astype(jnp.float32) * (2.0 ** -9)
     mag = jnp.where(em < 8, sub, mag)
     return jnp.where(xi < 0, -mag, mag).astype(dtype)
+
+
+# e4m3_expand_scaled returns value * 2^-E4M3_EXPAND_SHIFT; the kernels
+# fold 2^+shift into their per-block scale-factor tiles (one multiply
+# per [Hkv, tokens] tile instead of per payload element)
+E4M3_EXPAND_SHIFT = 40
+
+
+def e4m3_expand_scaled(x_i8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """e4m3_expand's fast path: returns VALUE * 2^-40, select-free.
+
+    The classic half->float magic-multiply, adapted to e4m3: placing
+    the 7-bit exp+mantissa field at the f32 exponent boundary
+    (`em << 20`) makes normals read as 2^(e-127)·(1+m/8) and
+    subnormals as f32 subnormals m·2^-129; ONE power-of-two multiply
+    (2^80) then maps BOTH to value·2^-40 exactly (power-of-two scaling
+    is rounding-free, and the f32 subnormal→normal promotion under it
+    is exact).  The sign bit ORs into place, so there are no selects
+    and no compares — 8 integer/float ops per element vs
+    e4m3_expand's 13+2 selects.  The 2^-40 bias keeps q·k products
+    ~2^-40 (no overflow risk the +2^120 direction would have); callers
+    multiply their score/probability factor tiles by
+    2^E4M3_EXPAND_SHIFT.  Bit-exact vs e4m3_expand(x) * 2^-40 on all
+    254 non-NaN codes (tests/test_quant.py); garbage bytes in dead
+    cache slots can never produce NaN/Inf here (the exponent field
+    maxes at 2^(15-127))."""
+    xi = x_i8.astype(jnp.int32)
+    bits = jnp.bitwise_or(
+        (jnp.bitwise_and(xi, 0x80) << 24),
+        (jnp.bitwise_and(xi, 0x7F) << 20))
+    return (jax.lax.bitcast_convert_type(bits, jnp.float32)
+            * jnp.float32(2.0 ** (120 - E4M3_EXPAND_SHIFT))).astype(dtype)

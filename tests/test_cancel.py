@@ -90,6 +90,7 @@ def test_cancel_from_on_token_mid_decode(params):
     assert eng.allocator.num_free == 64 - 1
 
 
+@pytest.mark.slow
 def test_cancel_from_on_token_mid_spec_round(params):
     rng = np.random.default_rng(3)
     draft_params = llama.init_params(DRAFT_CFG, jax.random.key(7))

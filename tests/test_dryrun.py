@@ -15,11 +15,13 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 def test_dryrun_multichip_4():
     graft.dryrun_multichip(4)

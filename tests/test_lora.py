@@ -101,6 +101,7 @@ def test_mixed_batch_adapters_independent(params):
     assert got == [want1, want2]
 
 
+@pytest.mark.slow
 def test_lora_with_chunked_prefill_and_spec(params):
     adapter = make_adapter(jax.random.key(4))
     rng = np.random.default_rng(2)

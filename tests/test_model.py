@@ -54,6 +54,7 @@ def test_decode_matches_forward(params):
     assert done[0].output == oracle, (done[0].output, oracle)
 
 
+@pytest.mark.slow
 def test_engine_continuous_batching(params):
     """More requests than batch slots: all finish, outputs independent of
     co-scheduling (each request's output equals its solo-run output)."""
@@ -92,6 +93,7 @@ def test_engine_page_reuse(params):
     assert eng.allocator.num_free == free0
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(params):
     rng = np.random.default_rng(3)
     tokens = jnp.asarray(rng.integers(0, 256, size=(2, 32)), jnp.int32)
@@ -104,6 +106,7 @@ def test_train_step_reduces_loss(params):
     assert l1 < l0, (l0, l1)
 
 
+@pytest.mark.slow
 def test_decode_step_tensor_parallel(params):
     """decode_step with a (1, tp) mesh (heads sharded over 'model') matches
     the single-device decode step exactly."""
@@ -171,6 +174,7 @@ def test_engine_tensor_parallel(params):
     assert outs[True] == outs[False], (outs[True], outs[False])
 
 
+@pytest.mark.slow
 def test_mistral_window_decode_matches_forward():
     """Sliding-window config (Mistral-style): engine generation ==
     full-forward oracle, and chunked prefill == whole-prompt prefill —

@@ -29,6 +29,7 @@ def _mk_engine(params, **kw):
     return ServingEngine(params, CFG, **defaults)
 
 
+@pytest.mark.slow
 def test_replica_pool_matches_solo_outputs(params):
     """6 requests over 2 replicas with 2 slots each: every request's
     output equals its solo-engine output (replica DP must not change
@@ -117,6 +118,7 @@ def test_multiprocess_serving_pool():
     assert len(workers_used) >= 1  # scheduling is load-driven
 
 
+@pytest.mark.slow
 def test_tcp_transport_pool_matches_single_engine():
     """Same pool, queues behind the TCP wire (serving/transport.py):
     worker loop unchanged, outputs identical — the transport swap the

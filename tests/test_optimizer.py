@@ -146,6 +146,7 @@ def test_clip_and_schedule():
     assert np.isfinite(float(d1)) and float(d1) > 0
 
 
+@pytest.mark.slow
 def test_master_weights_beat_bf16_updates():
     """bf16 params with an f32 master: tiny (sub-bf16-lsb) updates
     accumulate in the master instead of vanishing, and the sharded

@@ -145,6 +145,7 @@ def test_checkpoint_resume_preserves_sharing(params):
     assert outs[8] == want[1], (outs[8], want[1])
 
 
+@pytest.mark.slow
 def test_resubmitted_prompt_survives_eviction_pressure(params):
     """Regression (ADVICE r2 high): _admit must pin a request's cached
     hit pages BEFORE evicting for the shortfall — otherwise _evict_for

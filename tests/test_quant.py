@@ -97,3 +97,18 @@ def test_e4m3_expand_bit_exact():
     ok = ~np.isnan(ref)  # 0x7f/0xff NaN codes never occur in pools
     assert np.array_equal(ref[ok], got[ok])
     assert np.array_equal(np.signbit(ref[ok]), np.signbit(got[ok]))
+
+
+def test_e4m3_expand_scaled_bit_exact():
+    """The select-free magic-multiply expansion must equal
+    e4m3_expand(x) * 2^-40 bit-for-bit on every non-NaN code (both are
+    exact power-of-two scalings), and never produce NaN/Inf even on
+    the NaN codes (garbage bytes in dead cache slots)."""
+    bits = np.arange(256, dtype=np.uint8)
+    xi = jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.int8)
+    ref = np.asarray(quant.e4m3_expand(xi)) * np.float32(2.0 ** -40)
+    got = np.asarray(quant.e4m3_expand_scaled(xi))
+    f8 = jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.float8_e4m3fn)
+    ok = ~np.isnan(np.asarray(f8.astype(jnp.float32)))
+    assert np.array_equal(ref[ok], got[ok])
+    assert np.isfinite(got).all()

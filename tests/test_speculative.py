@@ -82,6 +82,7 @@ def test_spec_with_chunked_prefill(params, draft_params):
     assert spec == plain
 
 
+@pytest.mark.slow
 def test_spec_quantized(params, draft_params):
     """int8 pools: both paths quantize per-token rows, so spec decode
     stays token-identical to plain quantized decode."""
@@ -94,6 +95,7 @@ def test_spec_quantized(params, draft_params):
     assert spec == plain
 
 
+@pytest.mark.slow
 def test_spec_eos_mid_round(params, draft_params):
     """eos landing inside a speculative round truncates exactly where
     plain decode would stop (overshoot trimmed host-side)."""
@@ -118,6 +120,7 @@ def test_spec_eos_mid_round(params, draft_params):
                    spec_tokens=4) == want
 
 
+@pytest.mark.slow
 def test_spec_mixed_batch_keeps_speculating(params, draft_params):
     """A temperature-sampled request no longer suspends speculation for
     the batch (round-3 verdict: eligibility was all-or-nothing): the
@@ -144,6 +147,7 @@ def test_spec_mixed_batch_keeps_speculating(params, draft_params):
     assert eng.spec_rounds >= 3
 
 
+@pytest.mark.slow
 def test_spec_checkpoint_roundtrip(params, draft_params, tmp_path):
     """Preempt mid-generation, restore into a fresh engine, finish:
     byte-identical to the uninterrupted run (draft pool + dlens travel
@@ -197,6 +201,7 @@ def test_spec_validation_errors(params, draft_params):
 # cross-family: window (Mistral), GPT-2, MoE targets; mixed-family draft
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_spec_sliding_window_model(draft_params):
     """Mistral-style windowed target: the verify prefill's window mask
     and plain decode's trailing-window kernel must agree token-for-token
@@ -259,6 +264,7 @@ def test_spec_moe_target_llama_draft(draft_params):
                draft_model=llama, spec_tokens=2) == run()
 
 
+@pytest.mark.slow
 def test_spec_with_prefix_cache(params, draft_params):
     """Prefix caching composes with spec decode: cached pages carry
     draft KV too (both pools share page ids, every spec-engine request
@@ -298,6 +304,7 @@ def test_spec_tensor_parallel(params, draft_params):
     assert eng.spec_drafted > 0
 
 
+@pytest.mark.slow
 def test_spec_adaptive_disable(params, draft_params):
     """spec_min_acceptance: a draft whose measured acceptance stays
     below the threshold stops being consulted after 8 rounds (plain
@@ -328,6 +335,7 @@ def test_spec_adaptive_disable(params, draft_params):
 # token is exactly target-distributed.
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_spec_sampled_topk1_matches_greedy(params, draft_params):
     """top_k=1 at any temperature is a degenerate one-hot distribution,
     so spec-sampled output must be TOKEN-IDENTICAL to plain greedy —
@@ -367,6 +375,7 @@ def test_spec_sampled_logit_bias_forces_token(params, draft_params):
     assert eng.spec_rounds > 0
 
 
+@pytest.mark.slow
 def test_spec_per_slot_budget_caps(params, draft_params):
     """A request whose remaining budget can't take a full K+1 round
     participates with a 1-token verify instead of suspending speculation
@@ -432,6 +441,7 @@ def test_spec_sampled_distribution_chi2():
     assert chi2 < 37.7 + 2.0 * max(0, dof - 15), (chi2, dof, n1, n2)
 
 
+@pytest.mark.slow
 def test_spec_sampled_reproducible(params, draft_params):
     """Same sample_seed + same submission order => identical sampled
     streams across engines (the verify's accept/resample draws chain

@@ -30,6 +30,7 @@ def run(params, prompt, **kw):
     return eng.run()[0].output
 
 
+@pytest.mark.slow
 def test_stop_sequence_truncates(params):
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, 256, size=6).astype(np.int32)
