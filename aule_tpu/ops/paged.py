@@ -93,7 +93,16 @@ def _paged_decode_kernel(
 
     length = ctx_ref[b]
     tokens_per_block = page_size * ppcb
-    n_live = pl.cdiv(length, tokens_per_block)
+
+    def win_first(ln):
+        # sliding window: blocks before (len-W) are dead — skip their
+        # DMA and compute entirely (paged_fused.py has the same skip)
+        if window <= 0:
+            return jnp.int32(0)
+        return jnp.maximum(ln - window, 0) // tokens_per_block
+
+    first = win_first(length)
+    n_live = pl.cdiv(length, tokens_per_block) - first
 
     def start_dma_for(bb, block_idx, slot):
         """One strided all-heads descriptor per (page, pool)."""
@@ -156,16 +165,17 @@ def _paged_decode_kernel(
             # self-start only when no predecessor prefetched for us
             # (first batch, or the previous batch had no live blocks)
             bm1 = jnp.maximum(b - 1, 0)
-            prev_empty = pl.cdiv(ctx_ref[bm1], tokens_per_block) == 0
+            prev_empty = (pl.cdiv(ctx_ref[bm1], tokens_per_block)
+                          - win_first(ctx_ref[bm1])) == 0
 
             @pl.when(jnp.logical_and(
                 n_live > 0, jnp.logical_or(b == 0, prev_empty)))
             def _():
-                start_dma(0, jax.lax.rem(sb_ref[0], 2))
+                start_dma(first, jax.lax.rem(sb_ref[0], 2))
         else:
             @pl.when(n_live > 0)
             def _():
-                start_dma(0, 0)
+                start_dma(first, 0)
 
     @pl.when(i < n_live)
     def _compute():
@@ -174,18 +184,20 @@ def _paged_decode_kernel(
 
         @pl.when(i + 1 < n_live)
         def _prefetch():
-            start_dma(i + 1, 1 - slot)
+            start_dma(first + i + 1, 1 - slot)
 
         if cross_batch:
             last = i == n_live - 1
+            ctx_next = ctx_ref[jnp.minimum(b + 1, nbatch - 1)]
             next_live = jnp.logical_and(
                 b + 1 < nbatch,
-                pl.cdiv(ctx_ref[jnp.minimum(b + 1, nbatch - 1)],
-                        tokens_per_block) > 0)
+                pl.cdiv(ctx_next, tokens_per_block)
+                - win_first(ctx_next) > 0)
 
             @pl.when(jnp.logical_and(last, next_live))
             def _prefetch_next_batch():
-                start_dma_for(bp1, 0, jax.lax.rem(base + n_live, 2))
+                start_dma_for(bp1, win_first(ctx_next),
+                              jax.lax.rem(base + n_live, 2))
 
             @pl.when(last)
             def _pass_baton():
@@ -213,7 +225,7 @@ def _paged_decode_kernel(
 
         s = s_scr[...]  # [Hkv*Gp, tokens]
         pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
-            + i * tokens_per_block
+            + (first + i) * tokens_per_block
         valid = pos < length
         if window > 0:
             valid = jnp.logical_and(valid, (length - 1 - pos) < window)

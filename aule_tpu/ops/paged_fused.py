@@ -245,7 +245,20 @@ def _fused_decode_kernel(
 
     length = ctx_ref[b]
     tokens_per_block = page_size * ppcb
-    n_live = pl.cdiv(length, tokens_per_block)
+
+    def win_first(ln):
+        """First live block under a sliding window: decode attends only
+        the trailing W tokens, so blocks before (len-W) are dead — skip
+        their DMA AND compute (the prefill kernel already does this via
+        first_vis; without it a W=4k decode over 32k ctx paid 8x the
+        bandwidth, r4).  The front block's sub-window tokens are masked
+        by the (length-1-pos) < window term below."""
+        if window <= 0:
+            return jnp.int32(0)
+        return jnp.maximum(ln - window, 0) // tokens_per_block
+
+    first = win_first(length)
+    n_live = pl.cdiv(length, tokens_per_block) - first
 
     start_dma, wait_dma = _page_dma_helpers(
         b, ppcb, quantized, kv_hbm, sc_hbm, bt_ref, cont_ref,
@@ -277,16 +290,17 @@ def _fused_decode_kernel(
             # self-start only when no predecessor prefetched for us
             # (first batch, or the previous batch had no live blocks)
             bm1 = jnp.maximum(b - 1, 0)
-            prev_empty = pl.cdiv(ctx_ref[bm1], tokens_per_block) == 0
+            prev_empty = (pl.cdiv(ctx_ref[bm1], tokens_per_block)
+                          - win_first(ctx_ref[bm1])) == 0
 
             @pl.when(jnp.logical_and(
                 n_live > 0, jnp.logical_or(b == 0, prev_empty)))
             def _():
-                start_dma(0, jax.lax.rem(sb_ref[0], 2))
+                start_dma(first, jax.lax.rem(sb_ref[0], 2))
         else:
             @pl.when(n_live > 0)
             def _():
-                start_dma(0, 0)
+                start_dma(first, 0)
 
     @pl.when(i < n_live)
     def _compute():
@@ -295,18 +309,20 @@ def _fused_decode_kernel(
 
         @pl.when(i + 1 < n_live)
         def _prefetch():
-            start_dma(i + 1, 1 - slot)
+            start_dma(first + i + 1, 1 - slot)
 
         if cross_batch:
             last = i == n_live - 1
+            ctx_next = ctx_ref[jnp.minimum(b + 1, nbatch - 1)]
             next_live = jnp.logical_and(
                 b + 1 < nbatch,
-                pl.cdiv(ctx_ref[jnp.minimum(b + 1, nbatch - 1)],
-                        tokens_per_block) > 0)
+                pl.cdiv(ctx_next, tokens_per_block)
+                - win_first(ctx_next) > 0)
 
             @pl.when(jnp.logical_and(last, next_live))
             def _prefetch_next_batch():
-                start_dma_next(0, jax.lax.rem(base + n_live, 2))
+                start_dma_next(win_first(ctx_next),
+                               jax.lax.rem(base + n_live, 2))
 
             @pl.when(last)
             def _pass_baton():
@@ -373,7 +389,7 @@ def _fused_decode_kernel(
         s = s.reshape(hkv * gp, tokens_per_block)
 
         pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
-            + i * tokens_per_block
+            + (first + i) * tokens_per_block
         valid = pos < length
         if window > 0:
             valid = jnp.logical_and(valid, (length - 1 - pos) < window)
