@@ -127,7 +127,7 @@ def _group_mask(mask_pos, group):
 def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_acc,
     *, scale, causal, window, group, block_q, block_kv, seq_q, seq_k,
-    n_kv, q_ragged, k_ragged, diag_strips=0,
+    n_kv, q_ragged, k_ragged, diag_strips=0, banded=False, kv_blocks=0,
 ):
     """dQ: grid (B, Hkv, n_q, n_kv); the whole GQA head group's rows are
     flattened per K/V residency (K/V HBM traffic / `group`, like the
@@ -139,13 +139,27 @@ def _dq_kernel(
     (flash.py::_diag_body): the block-aligned triangular tile runs as
     static row strips computing only live columns — 0.5 + 0.5/n of the
     tile's MXU work.  Backward has no online-softmax chain (p comes from
-    the saved lse), so strips cost nothing but the extra matmul calls."""
+    the saved lse), so strips cost nothing but the extra matmul calls.
+
+    banded=True (window > 0): the last grid axis walks only the live kv
+    BAND of q-block i — ceil((bq+W)/bkv)+1 steps instead of every kv
+    block — mirroring the forward's banded window schedule
+    (flash.py::_win_kernel).  The actual kv block is lo(i) + band step;
+    the tier algebra below sees the actual j, so over-covered band steps
+    are dead (live=False) exactly like the old full walk's dead tiles."""
     i = pl.program_id(2)
-    j = pl.program_id(3)
+    jb = pl.program_id(3)
+    if banded:
+        lo, _ = _kv_live_range(
+            i, block_q=block_q, block_kv=block_kv, causal=causal,
+            window=window, seq_k=seq_k, n_kv=kv_blocks)
+        j = lo + jb
+    else:
+        j = jb
     rows = group * block_q
     d = q_ref.shape[-1]
 
-    @pl.when(j == 0)
+    @pl.when(jb == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
@@ -153,6 +167,14 @@ def _dq_kernel(
         i, j, block_q=block_q, block_kv=block_kv, causal=causal,
         window=window, seq_q=seq_q, seq_k=seq_k,
         q_ragged=False, k_ragged=k_ragged)
+    if banded:
+        # the band can overrun the last real kv block; the index map
+        # clips the DMA back to it, so the step MUST be dead or the
+        # clipped block would accumulate twice (the ragged checks are
+        # off when the sequence is unpadded and don't catch this)
+        in_range = j < kv_blocks
+        live = jnp.logical_and(live, in_range)
+        interior = jnp.logical_and(interior, in_range)
     # dq rows beyond seq_q are garbage but get sliced off by the wrapper,
     # so the q bound never forces a masked tier here (q_ragged=False);
     # masked COLUMNS do matter (they must not leak into dq).
@@ -240,7 +262,7 @@ def _dq_kernel(
         def _edge():
             _compute(True)
 
-    @pl.when(j == n_kv - 1)
+    @pl.when(jb == n_kv - 1)
     def _store():
         dq_ref[0] = dq_acc[...].astype(dq_ref.dtype).reshape(
             group, block_q, d)
@@ -250,18 +272,29 @@ def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale, causal, window, group, block_q, block_kv, seq_q, seq_k,
-    n_q, q_ragged, k_ragged,
+    n_q, q_ragged, k_ragged, banded=False, q_blocks=0,
 ):
     """dK/dV: grid (B, Hkv, n_kv, n_q).  The GQA group's q rows flatten
     into the CONTRACTION dim of both accumulating matmuls (dV += P^T dO,
     dK += dS^T Q), so the group needs no grid dim and every matmul is
-    `group`x deeper — vs the r1 kernel's per-(group, q-block) passes."""
+    `group`x deeper — vs the r1 kernel's per-(group, q-block) passes.
+
+    banded=True (window > 0): the last grid axis walks only the live q
+    BAND of kv-block j (actual q block = lo(j) + band step), mirroring
+    the banded dQ walk above."""
     j = pl.program_id(2)
-    qi = pl.program_id(3)
+    qb = pl.program_id(3)
+    if banded:
+        lo, _ = _q_live_range(
+            j, block_q=block_q, block_kv=block_kv, causal=causal,
+            window=window, seq_q=seq_q, n_q=q_blocks)
+        qi = lo + qb
+    else:
+        qi = qb
     rows = group * block_q
     d = q_ref.shape[-1]
 
-    @pl.when(qi == 0)
+    @pl.when(qb == 0)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -323,7 +356,7 @@ def _dkv_kernel(
     def _edge():
         _compute(True)
 
-    @pl.when(qi == n_q - 1)
+    @pl.when(qb == n_q - 1)
     def _store():
         dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
@@ -423,11 +456,24 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
     dq_n_q = sq_pad // dq_bq
     dq_n_kv = sk_pad // dq_bkv
 
+    # Banded window walk (r4): with a sliding window only a band of
+    # ceil((bq+W)/bkv)+1 kv blocks is live per q block; walking the full
+    # kv axis made windowed training pay causal-schedule time (24 TF/s
+    # effective at W=256/S=4096, BENCH_GRID r4).  The grid's last axis
+    # shrinks to the band; index maps and kernels add the band offset.
+    dq_band = dq_n_kv
+    if window > 0:
+        span_kv = dq_bq + (window if causal else 2 * window)
+        dq_band = min(dq_n_kv, _cdiv(span_kv, dq_bkv) + 1)
+    dq_banded = dq_band < dq_n_kv
+
     def kv_index(b, hk, i, j):
         lo, hi = _kv_live_range(
             i, block_q=dq_bq, block_kv=dq_bkv, causal=causal,
             window=window, seq_k=seq_k, n_kv=dq_n_kv,
         )
+        if dq_banded:
+            j = lo + j
         return (b, (hk * dq_group) // group, jnp.clip(j, lo, hi), 0)
 
     def q_spec(width):
@@ -438,10 +484,11 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
         functools.partial(
             _dq_kernel, scale=scale, causal=causal, window=window,
             group=dq_group, block_q=dq_bq, block_kv=dq_bkv,
-            seq_q=seq_q, seq_k=seq_k, n_kv=dq_n_kv,
+            seq_q=seq_q, seq_k=seq_k, n_kv=dq_band,
             q_ragged=q_ragged, k_ragged=k_ragged, diag_strips=dq_strips,
+            banded=dq_banded, kv_blocks=dq_n_kv,
         ),
-        grid=(batch, hq // dq_group, dq_n_q, dq_n_kv),
+        grid=(batch, hq // dq_group, dq_n_q, dq_band),
         in_specs=[
             q_spec(d),
             pl.BlockSpec((1, 1, dq_bkv, d), kv_index),
@@ -462,12 +509,20 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
 
     # ---- dKV kernel: grid (B, Hkv, n_kv, n_q); the group's rows ride
     # the matmul CONTRACTION dim, so there is no group grid dim ----
+    dkv_band = n_q
+    if window > 0:
+        span_q = bkv + (window if causal else 2 * window)
+        dkv_band = min(n_q, _cdiv(span_q, bq) + 1)
+    dkv_banded = dkv_band < n_q
+
     def q_index(width):
         def index(b, hk, j, qi):
             lo, hi = _q_live_range(
                 j, block_q=bq, block_kv=bkv, causal=causal, window=window,
                 seq_q=seq_q, n_q=n_q,
             )
+            if dkv_banded:
+                qi = lo + qi
             return (b, hk, jnp.clip(qi, lo, hi), 0)
         return pl.BlockSpec((1, group, bq, width), index)
 
@@ -475,10 +530,11 @@ def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
         functools.partial(
             _dkv_kernel, scale=scale, causal=causal, window=window,
             group=group, block_q=bq, block_kv=bkv,
-            seq_q=seq_q, seq_k=seq_k, n_q=n_q,
+            seq_q=seq_q, seq_k=seq_k, n_q=dkv_band,
             q_ragged=q_ragged, k_ragged=k_ragged,
+            banded=dkv_banded, q_blocks=n_q,
         ),
-        grid=(batch, hkv, n_kv, n_q),
+        grid=(batch, hkv, n_kv, dkv_band),
         in_specs=[
             q_index(d),
             pl.BlockSpec((1, 1, bkv, d),
