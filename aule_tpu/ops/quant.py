@@ -42,6 +42,12 @@ def quantize_kv(x: jnp.ndarray, dtype=jnp.int8) -> Tuple[jnp.ndarray, jnp.ndarra
 
     x: [..., D] -> (payload [..., D] in `dtype`, scales [...] f32) with
     x ≈ payload * scales[..., None].
+
+    fp8-e4m3 payloads never contain subnormal byte codes: values whose
+    nearest e4m3 representation is subnormal (|v| < 2^-6 of the scaled
+    range, < 3.5e-5 of the token amax) are flushed to +-0 at encode
+    time so the select-free in-kernel decoder is bit-exact on TPU
+    hardware (see _flush_e4m3_subnormals).
     """
     qmax = _qmax(dtype)
     xf = x.astype(jnp.float32)
@@ -53,7 +59,31 @@ def quantize_kv(x: jnp.ndarray, dtype=jnp.int8) -> Tuple[jnp.ndarray, jnp.ndarra
             jnp.int8)
     else:
         payload = jnp.clip(scaled, -FP8_MAX, FP8_MAX).astype(dtype)
+        payload = _flush_e4m3_subnormals(payload)
     return payload, scale
+
+
+def _flush_e4m3_subnormals(payload: jnp.ndarray) -> jnp.ndarray:
+    """Flush the 14 subnormal e4m3 byte codes (0x01-0x07 / 0x81-0x87) to +-0.
+
+    The TPU VPU flushes f32 subnormals to zero, so e4m3_expand_scaled's
+    magic-multiply decodes subnormal codes as 0.0 on hardware (the
+    subnormal->normal promotion the trick relies on is exact in IEEE
+    semantics but not under flush-to-zero; measured on TPU v5 lite:
+    bitcast(7<<20) * 2^80 == 0.0).  Rather than pay a select in the hot
+    decode, encode-side we never emit those codes: a subnormal
+    represents |v| < 2^-6 of the per-token 448-amax scaling, i.e.
+    < 3.5e-5 of amax — far below the 5e-3 error target — so flushing
+    at encode loses nothing measurable and makes every pool byte decode
+    bit-exactly through BOTH e4m3_expand and e4m3_expand_scaled.
+    Operates on the payload bits (not the pre-cast float) so the
+    guarantee holds regardless of the cast's rounding mode."""
+    bits = jax.lax.bitcast_convert_type(payload, jnp.int8)
+    em = jnp.bitwise_and(bits.astype(jnp.int32), 0x7F)
+    keep = jnp.logical_or(em == 0, em >= 8)
+    sign_only = jnp.bitwise_and(bits, jnp.int8(-128))  # 0x80 sign bit
+    return jax.lax.bitcast_convert_type(
+        jnp.where(keep, bits, sign_only), payload.dtype)
 
 
 def dequantize_kv(payload: jnp.ndarray, scale: jnp.ndarray,
@@ -99,19 +129,28 @@ def e4m3_expand_scaled(x_i8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
 
     The classic half->float magic-multiply, adapted to e4m3: placing
     the 7-bit exp+mantissa field at the f32 exponent boundary
-    (`em << 20`) makes normals read as 2^(e-127)·(1+m/8) and
-    subnormals as f32 subnormals m·2^-129; ONE power-of-two multiply
-    (2^80) then maps BOTH to value·2^-40 exactly (power-of-two scaling
-    is rounding-free, and the f32 subnormal→normal promotion under it
-    is exact).  The sign bit ORs into place, so there are no selects
-    and no compares — 8 integer/float ops per element vs
-    e4m3_expand's 13+2 selects.  The 2^-40 bias keeps q·k products
-    ~2^-40 (no overflow risk the +2^120 direction would have); callers
-    multiply their score/probability factor tiles by
-    2^E4M3_EXPAND_SHIFT.  Bit-exact vs e4m3_expand(x) * 2^-40 on all
-    254 non-NaN codes (tests/test_quant.py); garbage bytes in dead
-    cache slots can never produce NaN/Inf here (the exponent field
-    maxes at 2^(15-127))."""
+    (`em << 20`) makes normals read as 2^(e-127)·(1+m/8); ONE
+    power-of-two multiply (2^80) then maps them to value·2^-40 exactly
+    (power-of-two scaling is rounding-free).  The sign bit ORs into
+    place, so there are no selects and no compares — 8 integer/float
+    ops per element vs e4m3_expand's 13+2 selects.  The 2^-40 bias
+    keeps q·k products ~2^-40 (no overflow risk the +2^120 direction
+    would have); callers multiply their score/probability factor tiles
+    by 2^E4M3_EXPAND_SHIFT.
+
+    Subnormal codes (0x01-0x07 / 0x81-0x87) land on f32 subnormals
+    before the multiply, and the TPU VPU flushes f32 subnormals — so
+    on hardware those 14 codes decode to +-0.0, NOT m·2^-9·2^-40
+    (measured on TPU v5 lite: bitcast(7<<20) * 2^80 == 0.0; IEEE
+    semantics, e.g. CPU/interpret mode, decode them exactly).  This is
+    safe because `quantize_kv` never emits subnormal codes
+    (_flush_e4m3_subnormals): every byte an aule pool can contain —
+    +-0 and normals — decodes bit-exactly on both CPU and TPU
+    (tests/test_quant.py pins the contract per-regime).  Garbage bytes
+    in dead cache slots decode finite either way (the exponent field
+    maxes at 2^(15-127)); the only caller-visible effect of the flush
+    is that foreign subnormal bytes read as zero, an error < 2^-6 of
+    the 448-amax payload scale (< 3.5e-5 of amax)."""
     xi = x_i8.astype(jnp.int32)
     bits = jnp.bitwise_or(
         (jnp.bitwise_and(xi, 0x80) << 24),

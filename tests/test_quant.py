@@ -101,14 +101,48 @@ def test_e4m3_expand_bit_exact():
 
 def test_e4m3_expand_scaled_bit_exact():
     """The select-free magic-multiply expansion must equal
-    e4m3_expand(x) * 2^-40 bit-for-bit on every non-NaN code (both are
-    exact power-of-two scalings), and never produce NaN/Inf even on
-    the NaN codes (garbage bytes in dead cache slots)."""
+    e4m3_expand(x) * 2^-40 bit-for-bit on every byte code a pool can
+    contain (+-0 and normals; quantize_kv never emits subnormal codes
+    — see test_quantize_kv_fp8_never_emits_subnormals).  Subnormal
+    codes are allowed to decode as either the exact value (IEEE
+    regimes: CPU/interpret) or +-0.0 (TPU flushes f32 subnormals; the
+    magic-multiply's input lands on an f32 subnormal for those codes)
+    — foreign garbage bytes in dead cache slots must stay finite and
+    tiny either way, never NaN/Inf."""
     bits = np.arange(256, dtype=np.uint8)
     xi = jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.int8)
     ref = np.asarray(quant.e4m3_expand(xi)) * np.float32(2.0 ** -40)
     got = np.asarray(quant.e4m3_expand_scaled(xi))
     f8 = jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.float8_e4m3fn)
-    ok = ~np.isnan(np.asarray(f8.astype(jnp.float32)))
-    assert np.array_equal(ref[ok], got[ok])
+    nan_code = np.isnan(np.asarray(f8.astype(jnp.float32)))
+    em = bits & 0x7F
+    subnormal = (em >= 1) & (em <= 7)
+    emittable = ~nan_code & ~subnormal
+    assert np.array_equal(ref[emittable], got[emittable])
+    # subnormal codes: exact or flushed to zero, nothing else
+    sub_ok = (got[subnormal] == ref[subnormal]) | (got[subnormal] == 0.0)
+    assert sub_ok.all(), (ref[subnormal], got[subnormal])
     assert np.isfinite(got).all()
+    assert (np.abs(got[subnormal]) < 2.0 ** -6 * 2.0 ** -40).all()
+
+
+def test_quantize_kv_fp8_never_emits_subnormals():
+    """Encode-side half of the e4m3 TPU contract: quantize_kv flushes
+    the 14 subnormal byte codes to +-0 so e4m3_expand_scaled's
+    select-free decode is bit-exact on hardware.  Stress with values
+    spanning the subnormal boundary: a token whose amax forces most
+    elements below 2^-6 of the scaled range."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((4, 8, 16, 64)).astype(np.float32)
+    # plant huge per-token amax so most elements scale into [0, 2^-6)
+    x[..., 0] = 1e6
+    payload, _ = quantize_kv(jnp.asarray(x), jnp.float8_e4m3fn)
+    codes = np.asarray(
+        jax.lax.bitcast_convert_type(payload, jnp.int8)).view(np.uint8)
+    em = codes & 0x7F
+    assert not ((em >= 1) & (em <= 7)).any(), "subnormal e4m3 code emitted"
+    # and the fast decoder round-trips every emitted byte exactly
+    xi = jax.lax.bitcast_convert_type(payload, jnp.int8)
+    slow = np.asarray(quant.e4m3_expand(xi)) * np.float32(2.0 ** -40)
+    fast = np.asarray(quant.e4m3_expand_scaled(xi))
+    assert np.array_equal(slow, fast)
