@@ -621,6 +621,278 @@ def _win_kernel(
                 lse, (group, sh, NUM_LANES)).astype(lse_ref.dtype)
 
 
+def _mono_kernel(
+    *refs,
+    scale: float,
+    hb: int,
+    sh: int,
+    seq: int,
+    use_rope: bool,
+    return_lse: bool,
+):
+    """Static whole-sequence causal schedule ("mono") for S <= 4096.
+
+    The r4 verdict traced the causal MFU gap at production shapes
+    (55.7% at B4/S4096, 43.4% at B8/S2048 vs the 74-78% non-causal
+    ceiling) to per-grid-step fixed cost: the diagonal-strip schedule
+    runs B*Hq*S/bq steps of only ~7 us compute each, so ~3 us of step
+    overhead eats 20-30% of the machine.  This kernel removes the q
+    and kv grid axes entirely for sequences whose whole [S, D] K/V
+    tiles fit VMEM:
+
+      * grid = (batch, Hq/hb) — hb q heads of one GQA group per step,
+        every step fully parallel; consecutive steps share the kv head
+        so the K/V DMA is elided by block-index repetition;
+      * the body is a FULLY STATIC unrolled strip loop — no @pl.when,
+        no online-softmax chain, no scratch: strip t (q rows
+        [t*sh, (t+1)*sh) of all hb heads, flattened onto sublanes)
+        sees its ENTIRE causal span [0, rs+sh) in one [hb*sh, rs+sh]
+        score matmul, so softmax is single-pass (the _win_kernel trick
+        applied to full causal attention);
+      * only the [sh, sh] diagonal tail of each strip is masked — the
+        strict-past prefix columns are maskless by construction, so
+        the mask VPU cost is sh/S of the naive per-element masking;
+      * strip over-coverage (cols (row, rs+sh) of the tail) wastes
+        sh/S of the causal FLOPs — 3-6% at the tuned sizes, vs the
+        grid schedule's per-step overhead of 20-30%.
+
+    Reference analog: the block-skip "fast" shader's first/last-block
+    algebra (attention_f32_fast.comp:119-155) collapsed to a static
+    schedule; the single-pass strip softmax replaces the online (m,l)
+    rescale chain (attention_f32.comp:192-213) outright.
+    """
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    rest = refs[3:]
+    if use_rope:
+        cos_ref, sin_ref = rest[0], rest[1]
+        rest = rest[2:]
+    o_ref = rest.pop(0)
+    lse_ref = rest.pop(0) if return_lse else None
+    krot_scr = rest.pop(0) if use_rope else None
+
+    d = q_ref.shape[-1]
+    n_strips = seq // sh
+    rows = hb * sh
+
+    if use_rope:
+        # rotate K ONCE per grid step into VMEM scratch (strips re-read
+        # slices of it); per-strip rotation would redo O(S^2/sh) work
+        krot_scr[...] = _apply_rope_tile(
+            k_ref[0, 0].astype(jnp.float32), cos_ref[...], sin_ref[...]
+        ).astype(k_ref.dtype)
+
+    def k_span(span):
+        return krot_scr[:span] if use_rope else k_ref[0, 0, :span]
+
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (sh, sh), 0)
+           >= jax.lax.broadcasted_iota(jnp.int32, (sh, sh), 1))
+
+    for t in range(n_strips):
+        rs = t * sh
+        span = rs + sh
+        q = (q_ref[0, :, rs:rs + sh].astype(jnp.float32)
+             * (scale * LOG2E))                       # [hb, sh, D] f32
+        if use_rope:
+            cos = jnp.broadcast_to(cos_ref[rs:rs + sh][None],
+                                   (hb, sh, d // 2))
+            sin = jnp.broadcast_to(sin_ref[rs:rs + sh][None],
+                                   (hb, sh, d // 2))
+            q = _apply_rope_tile(q, cos, sin)
+        q = q.astype(q_ref.dtype).reshape(rows, d)
+        s = jax.lax.dot_general(
+            q, k_span(span), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [rows, span] f32, log2 units
+        # mask ONLY the [sh, sh] diagonal tail; prefix cols are all live
+        s_tail = s[:, rs:span].reshape(hb, sh, sh)
+        s_tail = jnp.where(tri[None], s_tail,
+                           DEFAULT_MASK_VALUE).reshape(rows, sh)
+        p_dtype = v_ref.dtype
+        if rs:
+            s_pre = s[:, :rs]
+            m = jnp.maximum(jnp.max(s_pre, axis=1),
+                            jnp.max(s_tail, axis=1))[:, None]  # [rows, 1]
+            p_pre = jnp.exp2(s_pre - m)
+            p_tail = jnp.exp2(s_tail - m)
+            l = (jnp.sum(p_pre, axis=1, dtype=jnp.float32)
+                 + jnp.sum(p_tail, axis=1, dtype=jnp.float32))[:, None]
+            o = jax.lax.dot_general(
+                p_pre.astype(p_dtype), v_ref[0, 0, :rs],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                p_tail.astype(p_dtype), v_ref[0, 0, rs:span],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            m = jnp.max(s_tail, axis=1)[:, None]
+            p_tail = jnp.exp2(s_tail - m)
+            l = jnp.sum(p_tail, axis=1, dtype=jnp.float32)[:, None]
+            o = jax.lax.dot_general(
+                p_tail.astype(p_dtype), v_ref[0, 0, :sh],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        # causal rows always include their own diagonal: l >= 1
+        o_ref[0, :, rs:rs + sh] = (o / l).astype(o_ref.dtype).reshape(
+            hb, sh, d)
+        if return_lse:
+            lse = (m + jnp.log2(l)) * 0.6931471805599453
+            lse_ref[0, :, rs:rs + sh] = jnp.broadcast_to(
+                lse.reshape(hb, sh, 1), (hb, sh, NUM_LANES)
+            ).astype(lse_ref.dtype)
+
+
+def _maybe_mono_fwd(q, k, v, *, causal, scale, window, rope_cos,
+                    rope_sin, return_lse, kv_len, block_q, block_kv,
+                    block_kv_compute, interpret):
+    """Dispatch to the static whole-sequence causal schedule
+    (_mono_kernel) when the shape qualifies; None falls through.
+
+    Gate: plain causal self-attention, bf16, D=128, S <= 4096 with
+    whole-[S,D] K/V tiles fitting the VMEM envelope, no explicit tile
+    overrides.  AULE_FLASH_MONO=0 disables; AULE_FLASH_MONO_HB /
+    AULE_FLASH_MONO_SH pin the heads-per-step / strip height."""
+    import os as _os
+    if _os.environ.get("AULE_FLASH_MONO", "1") in ("0", "false"):
+        return None
+    batch, hq, seq_q, d = q.shape
+    hkv, seq_k = k.shape[1], k.shape[2]
+    gqa = hq // hkv
+    if not (causal and window <= 0 and kv_len is None and seq_q == seq_k
+            and block_q is None and block_kv is None
+            and block_kv_compute is None and d == 128
+            and q.dtype == jnp.bfloat16 and 1024 <= seq_q <= 4096
+            and seq_q % 128 == 0):
+        return None
+
+    def budget(hb, sh):
+        dbl = 2  # Mosaic double-buffers grid-indexed blocks
+        by = hb * seq_q * d * 2 * dbl          # q tile
+        by += hb * seq_q * d * 2 * dbl         # out tile
+        by += 2 * seq_q * d * 2 * dbl          # k + v tiles
+        if return_lse:
+            by += hb * seq_q * NUM_LANES * 4 * dbl
+        # score f32 + exp2 f32 + p bf16 transients
+        by += hb * sh * seq_q * (4 + 4 + 2)
+        if rope_cos is not None:
+            by += 3 * seq_q * d * 2            # rotated-k + table slack
+        return by
+
+    env_hb = _os.environ.get("AULE_FLASH_MONO_HB")
+    env_sh = _os.environ.get("AULE_FLASH_MONO_SH")
+    if env_hb and env_sh:
+        # pinned by the sweep: trust the caller, skip the budget model
+        hb, sh = int(env_hb), int(env_sh)
+        if seq_q % sh or gqa % hb:
+            return None
+    else:
+        cap = int(_os.environ.get("AULE_FLASH_MONO_CAP", 48 << 20))
+        sh = int(env_sh) if env_sh else 128
+        if seq_q % sh:
+            return None
+        # hb (q heads per grid step): two regimes, r5 chip sweep.
+        # Large total work (>= ~1e11 FLOPs ~ 0.5 ms): hb=1 — minimal
+        # VMEM keeps DMA pipelining headroom and per-step overhead is
+        # already amortized (B8/S2048 hb1 142.2 vs hb4 131.6 TF/s;
+        # B4/S4096 hb1 142.4 vs hb4 139.8).  Small total work: the
+        # per-step fixed cost dominates, so batch heads until a step
+        # carries >= ~4 GFLOP (B1/S2048 hb4 136-189 vs hb1 118).
+        per_step = 2 * seq_q * seq_q * d
+        total = batch * hq * per_step
+        divisors = [h for h in range(1, gqa + 1) if gqa % h == 0]
+        if env_hb:
+            hb = int(env_hb)
+        elif total >= 1e11:
+            hb = 1
+        else:
+            hb = divisors[-1]
+            for h in divisors:
+                if h * per_step >= 4e9:
+                    hb = h
+                    break
+        while hb > 1 and budget(hb, sh) > cap:
+            hb = max(h for h in divisors if h < hb)
+        if budget(hb, sh) > cap:
+            return None
+
+    use_rope = rope_cos is not None
+    half_d = d // 2
+    grid = (batch, hq // hb)
+
+    in_specs = [
+        pl.BlockSpec((1, hb, seq_q, d), lambda b, h: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, seq_k, d),
+                     lambda b, h: (b, (h * hb) // gqa, 0, 0)),
+        pl.BlockSpec((1, 1, seq_k, d),
+                     lambda b, h: (b, (h * hb) // gqa, 0, 0)),
+    ]
+    args = [q, k, v]
+    if use_rope:
+        rope_cos = jnp.asarray(rope_cos, jnp.float32)
+        rope_sin = jnp.asarray(rope_sin, jnp.float32)
+        if rope_cos.shape[0] < seq_q:
+            pad = seq_q - rope_cos.shape[0]
+            rope_cos = jnp.pad(rope_cos, ((0, pad), (0, 0)),
+                               constant_values=1.0)
+            rope_sin = jnp.pad(rope_sin, ((0, pad), (0, 0)))
+        in_specs += [
+            pl.BlockSpec((seq_q, half_d), lambda b, h: (0, 0)),
+            pl.BlockSpec((seq_q, half_d), lambda b, h: (0, 0)),
+        ]
+        args += [rope_cos, rope_sin]
+
+    out_specs = [
+        pl.BlockSpec((1, hb, seq_q, d), lambda b, h: (b, h, 0, 0)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((batch, hq, seq_q, d), q.dtype)]
+    if return_lse:
+        out_specs.append(pl.BlockSpec(
+            (1, hb, seq_q, NUM_LANES), lambda b, h: (b, h, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (batch, hq, seq_q, NUM_LANES), jnp.float32))
+
+    scratch_shapes = []
+    if use_rope:
+        scratch_shapes.append(pltpu.VMEM((seq_k, d), k.dtype))  # rotated K
+    kernel = functools.partial(
+        _mono_kernel, scale=float(scale), hb=hb, sh=sh, seq=seq_q,
+        use_rope=use_rope, return_lse=return_lse,
+    )
+    if interpret is None:
+        interpret = get_config().interpret or (
+            jax.devices()[0].platform != "tpu")
+    flops = 2 * batch * hq * seq_q * seq_k * d
+    LAST_LAYOUT.update(bq=seq_q, bkv=seq_k, bkvc=sh, group=hb,
+                       diag_strips=0, win_strips=0, n_pre=0,
+                       mono_hb=hb, mono_sh=sh)
+    results = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=int(
+                _os.environ.get("AULE_FLASH_MONO_VMEM", 100 << 20)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=batch * hq * seq_q * seq_k // 2,
+        ),
+        interpret=interpret,
+    )(*args)
+    out = results[0]
+    if not return_lse:
+        return out
+    return out, results[1][..., 0]
+
+
 def _pick_blocks(
     seq_q: int,
     seq_k: int,
@@ -945,7 +1217,7 @@ def _maybe_causal_fwd(q, k, v, *, causal, scale, window, rope_cos,
     flops = 2 * batch * hq * seq_q * seq_k * d  # causal: half of 4BHS²D
     LAST_LAYOUT.update(bq=bq, bkv=seq_k, bkvc=bq, group=group,
                        diag_strips=0, win_strips=0, n_pre=0,
-                       c3_strips=strips)
+                       mono_hb=0, mono_sh=0, c3_strips=strips)
     results = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1082,7 +1354,7 @@ def _maybe_window_fwd(q, k, v, *, causal, scale, window, rope_cos,
     flops = 4 * batch * hq * seq_q * min(window + 1, seq_k) * d
     LAST_LAYOUT.update(bq=bq, bkv=bq, bkvc=bq, group=group,
                        diag_strips=0, win_strips=win_strips,
-                       n_pre=n_pre)
+                       n_pre=n_pre, mono_hb=0, mono_sh=0)
     results = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1158,11 +1430,17 @@ def flash_attention_fwd(
     # grid + static strip rectangles.  Taken for plain causal sliding
     # windows on aligned self-attention shapes; everything else falls
     # through to the generic schedule below.
-    win_out = _maybe_causal_fwd(
+    win_out = _maybe_mono_fwd(
         q, k, v, causal=causal, scale=scale, window=window,
         rope_cos=rope_cos, rope_sin=rope_sin, return_lse=return_lse,
         kv_len=kv_len, block_q=block_q, block_kv=block_kv,
         block_kv_compute=block_kv_compute, interpret=interpret)
+    if win_out is None:
+        win_out = _maybe_causal_fwd(
+            q, k, v, causal=causal, scale=scale, window=window,
+            rope_cos=rope_cos, rope_sin=rope_sin, return_lse=return_lse,
+            kv_len=kv_len, block_q=block_q, block_kv=block_kv,
+            block_kv_compute=block_kv_compute, interpret=interpret)
     if win_out is None:
         win_out = _maybe_window_fwd(
             q, k, v, causal=causal, scale=scale, window=window,
@@ -1227,7 +1505,8 @@ def flash_attention_fwd(
         v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - seq_k), (0, 0)))
 
     LAST_LAYOUT.update(bq=bq, bkv=bkv, bkvc=bkvc, group=group,
-                       diag_strips=diag_strips, win_strips=0, n_pre=0)
+                       diag_strips=diag_strips, win_strips=0, n_pre=0,
+                       mono_hb=0, mono_sh=0)
     n_q = sq_pad // bq
     n_kv = sk_pad // bkv
     # head grid axis walks Hq in `group`-sized flattened blocks; the kv
