@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import get_config, get_tile_config
 from .flash import DEFAULT_MASK_VALUE, NUM_LANES
-from .quant import E4M3_EXPAND_SHIFT, e4m3_expand_scaled
+from .quant import (E4M3_EXPAND_SHIFT, e4m3_expand_scaled,
+                    e4m3_expand_scaled_bf16)
 
 MIN_GROUP_PAD = 8
 
@@ -336,6 +337,10 @@ def _fused_decode_kernel(
         # buf: [ppcb, 2, Hkv, page, D] -> K/V [Hkv, tokens, D]
         buf = kv_buf[slot]
         q = q_ref[0].reshape(hkv, gp, -1)  # [Hkv, Gp, D]
+        if fp8_path:
+            # expanded k/v are f32 (cast-free expansion); Mosaic has no
+            # mixed-dtype matmul, so q (tiny) joins them in f32
+            q = q.astype(jnp.float32)
         kf = vf = None
         k = jnp.swapaxes(buf[:, 0], 0, 1).reshape(
             hkv, tokens_per_block, -1)
@@ -358,9 +363,20 @@ def _fused_decode_kernel(
                 # VPU ate the byte win).  Payloads come out as
                 # value*2^-40; the 2^+40 folds into the kf/vf factor
                 # tiles below (one multiply per [Hkv, tokens] tile).
-                cdt = q_ref.dtype
-                k = e4m3_expand_scaled(k, cdt)
-                v = e4m3_expand_scaled(v, cdt)
+                # bf16 compute: exact bit relocation at 16-bit lane
+                # width (e4m3_expand_scaled_bf16) — half the VPU cost
+                # of the i32 pipeline and no narrowing cast.
+                # expand straight to f32 and run both matmuls in
+                # f32 (q is tiny; the MXU is idle in decode): saves the
+                # [Hkv, tokens, D] bf16 narrowing casts on k AND v plus
+                # the p cast — ~3 of the ~9 VPU ops/elem.  The 16-bit
+                # lane variant (e4m3_expand_scaled_bf16) is blocked in
+                # Mosaic: i16 shifts fail to legalize and the i16
+                # mul/add form SIGABRTs the scheduler's latency table
+                # (chip-verified r5); it stays available for XLA-level
+                # callers.
+                k = e4m3_expand_scaled(k, jnp.float32)
+                v = e4m3_expand_scaled(v, jnp.float32)
                 comp = jnp.float32(2.0 ** E4M3_EXPAND_SHIFT)
                 kf = kf * comp
                 vf = vf * comp
@@ -839,8 +855,8 @@ def _fused_prefill_kernel(
                 sc_buf[slot], hkv, page_size, ppcb)
             cdt = q_ref.dtype
             if fp8_path:  # e4m3 bitcast as int8; see _fused_decode_kernel
-                k = e4m3_expand_scaled(k, cdt)
-                v = e4m3_expand_scaled(v, cdt)
+                k = e4m3_expand_scaled(k, jnp.float32)
+                v = e4m3_expand_scaled(v, jnp.float32)
                 comp = jnp.float32(2.0 ** E4M3_EXPAND_SHIFT)
                 kf = kf * comp
                 vf = vf * comp
@@ -851,7 +867,7 @@ def _fused_prefill_kernel(
         # fold the softmax scale into the q tile ([rows, D]) instead of
         # the score tile ([rows, tokens]): 4x fewer multiplies per block
         q = (q_ref[0].reshape(hkv, rows, -1).astype(jnp.float32)
-             * scale).astype(q_ref.dtype)
+             * scale).astype(jnp.float32 if fp8_path else q_ref.dtype)
 
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),

@@ -126,6 +126,27 @@ def test_e4m3_expand_scaled_bit_exact():
     assert (np.abs(got[subnormal]) < 2.0 ** -6 * 2.0 ** -40).all()
 
 
+def test_e4m3_expand_scaled_bf16_bit_exact():
+    """The 16-bit-lane expansion (bf16 bit relocation) must equal the
+    f32 pipeline's result cast to bf16 on every emittable code — both
+    are exact (e4m3 embeds in bf16 with no rounding), so this is
+    bit-for-bit, not approximate.  Subnormal codes decode exact or
+    flushed (same FTZ contract); all codes finite."""
+    bits = np.arange(256, dtype=np.uint8)
+    xi = jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.int8)
+    ref = np.asarray(quant.e4m3_expand(xi)) * np.float32(2.0 ** -40)
+    got = np.asarray(quant.e4m3_expand_scaled_bf16(xi).astype(jnp.float32))
+    f8 = jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.float8_e4m3fn)
+    nan_code = np.isnan(np.asarray(f8.astype(jnp.float32)))
+    em = bits & 0x7F
+    subnormal = (em >= 1) & (em <= 7)
+    emittable = ~nan_code & ~subnormal
+    assert np.array_equal(ref[emittable], got[emittable])
+    sub_ok = (got[subnormal] == ref[subnormal]) | (got[subnormal] == 0.0)
+    assert sub_ok.all()
+    assert np.isfinite(got).all()
+
+
 def test_quantize_kv_fp8_never_emits_subnormals():
     """Encode-side half of the e4m3 TPU contract: quantize_kv flushes
     the 14 subnormal byte codes to +-0 so e4m3_expand_scaled's
