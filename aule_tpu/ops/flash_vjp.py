@@ -303,6 +303,19 @@ def _dkv_kernel(
         qi, j, block_q=block_q, block_kv=block_kv, causal=causal,
         window=window, seq_q=seq_q, seq_k=seq_k,
         q_ragged=q_ragged, k_ragged=False)
+    if banded:
+        # the band can overrun the last real q block; the index map
+        # clips the DMA back to it, so the step MUST be dead or the
+        # clipped block would contribute twice.  The q_ragged masks do
+        # not catch this when seq_q is block-aligned (q_ragged=False):
+        # an overrun step's assumed rows sit at seq_q..seq_q+W past a
+        # near-edge kv block, the window term q_lo - p1 <= W holds, and
+        # the clipped q data leaked into the last W columns of dk/dv
+        # (r4 bug, caught by the r5 banded-strip cross-check; the dQ
+        # kernel always had the mirror guard).
+        in_range = qi < q_blocks
+        live = jnp.logical_and(live, in_range)
+        interior = jnp.logical_and(interior, in_range)
     # dk/dv columns beyond seq_k get sliced off by the wrapper
     # (k_ragged=False); masked q ROWS must not accumulate (q_ragged).
 
@@ -362,8 +375,320 @@ def _dkv_kernel(
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _win_dq_kernel(
+    *refs,
+    scale: float,
+    window: int,
+    group: int,
+    block_q: int,
+    n_pre: int,
+    strips: int,
+):
+    """Banded-strip window dQ: single pass, no scratch, no @pl.when.
+
+    Mirrors the forward's _win_kernel (flash.py): grid =
+    (batch, kv_heads, q_blocks); the q block's live kv band arrives as
+    n_pre+1 separate K and V chunk inputs (index maps clamp below
+    block 0; the cols >= 0 mask term kills clamped columns).  Strip t
+    (q rows [rs, rs+sh) of every head in the group) sees its ENTIRE
+    live span [rs-W, rs+sh) at once, so p comes straight from the
+    saved lse and dq writes its rows directly — no (m, l) chain, no
+    accumulation over kv steps.  This replaces the r4 "banded walk"
+    (grid band of mostly-dead [bq, bkv] tiles) that capped windowed
+    training at 24 TF/s effective (BENCH_GRID r4)."""
+    refs = list(refs)
+    n_in = n_pre + 1
+    q_ref = refs.pop(0)
+    k_refs = [refs.pop(0) for _ in range(n_in)]
+    v_refs = [refs.pop(0) for _ in range(n_in)]
+    do_ref, lse_ref, di_ref, dq_ref = refs
+
+    i = pl.program_id(2)
+    d = q_ref.shape[-1]
+    sh = block_q // strips
+    band = n_in * block_q
+
+    precision = (jax.lax.Precision.HIGHEST
+                 if q_ref.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+
+    def gather_cols(chunk_refs, lo: int, hi: int):
+        parts = []
+        for c in range(n_in):
+            p0, p1 = max(lo, c * block_q), min(hi, (c + 1) * block_q)
+            if p0 < p1:
+                parts.append(chunk_refs[c][0, 0, p0 - c * block_q:
+                                           p1 - c * block_q])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    for t in range(strips):
+        rs = t * sh
+        lo = max(0, (n_pre * block_q + rs - window)
+                 // NUM_LANES * NUM_LANES)
+        hi = min(band, _round_up(n_pre * block_q + rs + sh, NUM_LANES))
+        w = hi - lo
+        q = q_ref[0, :, rs:rs + sh].reshape(group * sh, d)
+        do = do_ref[0, :, rs:rs + sh].reshape(group * sh, d)
+        lse = lse_ref[0, :, rs:rs + sh, :1].reshape(group * sh, 1)
+        di = di_ref[0, :, rs:rs + sh, :1].reshape(group * sh, 1)
+        kk = gather_cols(k_refs, lo, hi)
+        vv = gather_cols(v_refs, lo, hi)
+        s2 = jax.lax.dot_general(
+            q, kk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * (scale * LOG2E)                    # [g*sh, w] log2-units
+        rows_pos = jax.lax.broadcasted_iota(
+            jnp.int32, (sh, w), 0) + i * block_q + rs
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (sh, w), 1)
+                + (i - n_pre) * block_q + lo)
+        mask = jnp.logical_and(
+            jnp.logical_and(rows_pos >= cols, cols >= 0),
+            rows_pos - cols <= window)
+        mask = _group_mask(mask, group)
+        p = jnp.exp2(jnp.where(mask, s2, DEFAULT_MASK_VALUE)
+                     - lse * LOG2E)
+        p = jnp.where(mask, p, 0.0)
+        dp = jax.lax.dot_general(
+            do, vv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = (p * (dp - di) * scale).astype(kk.dtype)
+        dq = jax.lax.dot_general(
+            ds, kk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        dq_ref[0, :, rs:rs + sh] = dq.astype(dq_ref.dtype).reshape(
+            group, sh, d)
+
+
+def _win_dkv_kernel(
+    *refs,
+    scale: float,
+    window: int,
+    group: int,
+    block_q: int,
+    n_post: int,
+    strips: int,
+    seq: int,
+):
+    """Banded-strip window dK/dV: the transposed band.
+
+    grid = (batch, kv_heads, kv_blocks); kv block j's live q band
+    (rows [j*bq, (j+1)*bq + W)) arrives as n_post+1 separate q, do,
+    lse, di chunk inputs (index maps clamp above the last block; the
+    rows < seq mask term kills clamped rows).  Strip t (kv cols
+    [cs, cs+sh)) sees all its visible q rows [cs, cs+W+sh) at once:
+    dv = p^T do and dk = ds^T q contract over the whole band span, so
+    each strip writes its dk/dv columns directly — single pass, no
+    accumulation over q steps."""
+    refs = list(refs)
+    n_in = n_post + 1
+    q_refs = [refs.pop(0) for _ in range(n_in)]
+    k_ref = refs.pop(0)
+    v_ref = refs.pop(0)
+    do_refs = [refs.pop(0) for _ in range(n_in)]
+    lse_refs = [refs.pop(0) for _ in range(n_in)]
+    di_refs = [refs.pop(0) for _ in range(n_in)]
+    dk_ref, dv_ref = refs
+
+    j = pl.program_id(2)
+    d = k_ref.shape[-1]
+    sh = block_q // strips
+    band = n_in * block_q
+
+    precision = (jax.lax.Precision.HIGHEST
+                 if k_ref.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+
+    def gather_rows(chunk_refs, lo: int, hi: int, width: int):
+        parts = []
+        for c in range(n_in):
+            p0, p1 = max(lo, c * block_q), min(hi, (c + 1) * block_q)
+            if p0 < p1:
+                sl = chunk_refs[c][0, :, p0 - c * block_q:
+                                   p1 - c * block_q]
+                parts.append(sl[..., :width])
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=1)
+        return out.reshape(group * (hi - lo), width)
+
+    for t in range(strips):
+        cs = t * sh
+        # q rows visible from cols [cs, cs+sh): [cs, cs + W + sh)
+        lo = cs // NUM_LANES * NUM_LANES
+        hi = min(band, _round_up(cs + window + sh, NUM_LANES))
+        w = hi - lo
+        qq = gather_rows(q_refs, lo, hi, d)        # [g*w, D]
+        do = gather_rows(do_refs, lo, hi, d)
+        lse = gather_rows(lse_refs, lo, hi, NUM_LANES)[:, :1]
+        di = gather_rows(di_refs, lo, hi, NUM_LANES)[:, :1]
+        kk = k_ref[0, 0, cs:cs + sh]
+        vv = v_ref[0, 0, cs:cs + sh]
+        s2 = jax.lax.dot_general(
+            qq, kk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * (scale * LOG2E)                        # [g*w, sh]
+        rows_pos = (jax.lax.broadcasted_iota(jnp.int32, (w, sh), 0)
+                    + j * block_q + lo)
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (w, sh), 1)
+                + j * block_q + cs)
+        mask = jnp.logical_and(
+            jnp.logical_and(rows_pos >= cols, rows_pos < seq),
+            rows_pos - cols <= window)
+        mask = _group_mask(mask, group)
+        p = jnp.exp2(jnp.where(mask, s2, DEFAULT_MASK_VALUE)
+                     - lse * LOG2E)
+        p = jnp.where(mask, p, 0.0)
+        dv = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )                                          # [sh, D]
+        dp = jax.lax.dot_general(
+            do, vv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = (p * (dp - di) * scale).astype(qq.dtype)
+        dk = jax.lax.dot_general(
+            ds, qq, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        dk_ref[0, 0, cs:cs + sh] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0, cs:cs + sh] = dv.astype(dv_ref.dtype)
+
+
+def _maybe_window_bwd(q, k, v, o, lse, do, *, causal, scale, window,
+                      dlse, interpret):
+    """Dispatch the backward to the banded-strip window kernels when
+    the shape qualifies (mirrors flash.py::_maybe_window_fwd's gate);
+    returns None to fall through to the generic schedule.
+    AULE_FLASH_WIN_BWD=0 disables."""
+    import os as _os
+    if _os.environ.get("AULE_FLASH_WIN_BWD", "1") in ("0", "false"):
+        return None
+    batch, hq, seq_q, d = q.shape
+    hkv, seq_k = k.shape[1], k.shape[2]
+    group = hq // hkv
+    if not (causal and window > 0 and window < seq_k
+            and seq_q == seq_k and d % NUM_LANES == 0
+            and q.dtype != jnp.float16):
+        return None
+    d_scale = max(1, d // 128)
+    rows_budget = 2048 // d_scale
+    if jnp.dtype(q.dtype).itemsize >= 4:
+        rows_budget //= 2
+    bq = max(NUM_LANES, (rows_budget // group) // NUM_LANES * NUM_LANES)
+    bq = min(bq, seq_q)
+    while bq > NUM_LANES and (seq_q % bq or bq % NUM_LANES
+                              or _cdiv(window, bq) + 1 > seq_k // bq):
+        bq //= 2
+    if (bq < NUM_LANES or seq_q % bq or bq % NUM_LANES
+            or _cdiv(window, bq) + 1 > seq_k // bq):
+        return None
+    strips = int(_os.environ.get("AULE_FLASH_WIN_BWD_STRIPS", "4"))
+    # strip transients are [group*(W+sh+128), sh]-ish f32 several times
+    # over (s2, p, dp, ds): cap the worst one at ~1.5 MiB
+    while (strips < bq // 8
+           and group * (bq // strips)
+           * min(window + bq // strips + NUM_LANES,
+                 (_cdiv(window, bq) + 1) * bq) * 4 > (3 << 19)):
+        strips *= 2
+    while strips > 1 and (bq % strips or (bq // strips) % 8):
+        strips //= 2
+
+    n_q = seq_q // bq
+    n_pre = _cdiv(window, bq)
+    n_in = n_pre + 1
+    grid = (batch, hkv, n_q)
+
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    if dlse is not None:
+        di = di - dlse.astype(jnp.float32)
+    lse_l = jnp.broadcast_to(lse[..., None],
+                             lse.shape + (NUM_LANES,)).astype(jnp.float32)
+    di_l = jnp.broadcast_to(di[..., None], di.shape + (NUM_LANES,))
+
+    def q_spec(width):
+        return pl.BlockSpec((1, group, bq, width),
+                            lambda b, hk, i: (b, hk, i, 0))
+
+    def kv_pre(c):  # band chunk c = kv block i - n_pre + c
+        return lambda b, hk, i, c=c: (
+            b, hk, jnp.maximum(i - n_pre + c, 0), 0)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _win_dq_kernel, scale=float(scale), window=window,
+            group=group, block_q=bq, n_pre=n_pre, strips=strips,
+        ),
+        grid=grid,
+        in_specs=(
+            [q_spec(d)]
+            + [pl.BlockSpec((1, 1, bq, d), kv_pre(c))
+               for c in range(n_in)] * 2
+            + [q_spec(d), q_spec(NUM_LANES), q_spec(NUM_LANES)]
+        ),
+        out_specs=q_spec(d),
+        out_shape=jax.ShapeDtypeStruct((batch, hq, seq_q, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, *([k] * n_in), *([v] * n_in), do, lse_l, di_l)
+
+    # dKV: the transposed band — q/do/lse/di chunks j .. j+n_post
+    n_post = n_pre
+    n_in2 = n_post + 1
+
+    def q_band(c):
+        return lambda b, hk, j, c=c: (
+            b, hk, jnp.minimum(j + c, n_q - 1), 0)
+
+    def q_band_spec(width, c):
+        return pl.BlockSpec((1, group, bq, width), q_band(c))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _win_dkv_kernel, scale=float(scale), window=window,
+            group=group, block_q=bq, n_post=n_post, strips=strips,
+            seq=seq_q,
+        ),
+        grid=grid,
+        in_specs=(
+            [q_band_spec(d, c) for c in range(n_in2)]
+            + [pl.BlockSpec((1, 1, bq, d),
+                            lambda b, hk, j: (b, hk, j, 0))] * 2
+            + [q_band_spec(d, c) for c in range(n_in2)]
+            + [q_band_spec(NUM_LANES, c) for c in range(n_in2)]
+            + [q_band_spec(NUM_LANES, c) for c in range(n_in2)]
+        ),
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b, hk, j: (b, hk, j, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda b, hk, j: (b, hk, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, hkv, seq_k, d), k.dtype),
+            jax.ShapeDtypeStruct((batch, hkv, seq_k, d), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*([q] * n_in2), k, v, *([do] * n_in2),
+      *([lse_l] * n_in2), *([di_l] * n_in2))
+    return dq, dk, dv
+
+
 def _bwd_impl(q, k, v, o, lse, do, *, causal, scale, window,
               dlse=None, interpret=None):
+    if interpret is None:
+        interpret = get_config().interpret or (
+            jax.devices()[0].platform != "tpu")
+    if window > 0:
+        win = _maybe_window_bwd(
+            q, k, v, o, lse, do, causal=causal, scale=scale,
+            window=window, dlse=dlse, interpret=interpret)
+        if win is not None:
+            return win
     grad_cast = None
     if q.dtype == jnp.float16:
         # Mirror the forward's f16 guard (flash.py:427-432): Mosaic has

@@ -311,6 +311,55 @@ def test_bwd_window():
     assert_close(dv, rv, *BWD_TOL, "win dv")
 
 
+def test_bwd_window_banded_strip_gqa():
+    """r5 banded-strip window backward (_win_dq_kernel/_win_dkv_kernel,
+    the default path for qualifying shapes: causal window, D%128==0,
+    aligned seq) vs reference autodiff on a GQA shape large enough for
+    a real band (n_pre=1, multiple q blocks)."""
+    from aule_tpu.ops import flash_vjp as fv
+
+    q, k, v = random_qkv(1, 8, 1024, 128, heads_kv=2)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    dq, dk, dv = _grads(
+        lambda q, k, v: fv.flash_attention_vjp(
+            q, k, v, causal=True, window_size=256), q, k, v
+    )
+    rq, rk, rv = _grads(
+        lambda q, k, v: attention_reference(
+            q, k, v, causal=True, window_size=256), q, k, v
+    )
+    # the arange-weighted loss scales cotangents ~1000x at this size,
+    # amplifying f32 kernel rounding; the r4 tail bug this guards was
+    # ~0.4 RELATIVE (orders of magnitude above this gate)
+    assert_close(dq, rq, 1e-3, 5e-3, "strip win dq")
+    assert_close(dk, rk, 1e-3, 5e-3, "strip win dk")
+    assert_close(dv, rv, 1e-3, 5e-3, "strip win dv")
+
+
+def test_bwd_window_generic_banded_walk_tail(monkeypatch):
+    """Regression for the r4 banded-walk dK/dV bug: when the band
+    overran the last q block on a block-aligned sequence
+    (q_ragged=False), the clipped q block leaked into the last W
+    columns of dk/dv under GQA (caught in r5 by cross-checking against
+    the banded-strip kernel).  Forces the generic walk with a kv tile
+    narrow enough that the band engages (dkv_band < n_q)."""
+    monkeypatch.setenv("AULE_FLASH_WIN_BWD", "0")
+    monkeypatch.setenv("AULE_BWD_BKV", "256")
+    q, k, v = random_qkv(1, 8, 1024, 128, heads_kv=2)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    dq, dk, dv = _grads(
+        lambda q, k, v: flash_attention_vjp(
+            q, k, v, causal=True, window_size=256), q, k, v
+    )
+    rq, rk, rv = _grads(
+        lambda q, k, v: attention_reference(
+            q, k, v, causal=True, window_size=256), q, k, v
+    )
+    assert_close(dq, rq, 1e-3, 5e-3, "gen win dq")
+    assert_close(dk, rk, 1e-3, 5e-3, "gen win dk")
+    assert_close(dv, rv, 1e-3, 5e-3, "gen win dv")
+
+
 def test_bwd_rope_grads_flow():
     q, k, v = random_qkv(1, 2, 128, 64)
     cos, sin = precompute_rope_frequencies(128, 64)
@@ -423,19 +472,43 @@ def test_window_strip_kernel_rope_fused():
     assert_close(np.asarray(out), want, 5e-4, 5e-4, "win-strip rope")
 
 
-def test_window_nonqualifying_shapes_fall_back():
-    """Non-causal windows, W >= seq, and ragged seq stay on the generic
-    schedule — and stay correct."""
+def test_window_strip_kernel_bidirectional():
+    """r5: bidirectional sliding windows ride the banded-strip kernel
+    too (the reference's half-window form, attention_f32.comp:173-187):
+    n_post = n_pre extra band chunks above the diagonal, top-clamped
+    chunks killed by the cols < seq mask term.  Pins dispatch
+    (win_strips > 0, n_post > 0) and the oracle, including W > bq and
+    both sequence edges."""
     from aule_tpu.ops import flash
 
-    q, k, v = random_qkv(1, 4, 512, 128, heads_kv=2)
-    got, _ = fwd(q, k, v, causal=False, window_size=100)
-    assert dict(flash.LAST_LAYOUT).get("win_strips", 0) == 0
-    want = attention_reference_numpy(q, k, v, window_size=100)
-    assert_close(got, want, *F32_TOL, "non-causal window fallback")
+    for (b, hq, hkv, s, d, w) in [(1, 8, 2, 1024, 128, 256),
+                                  (1, 4, 4, 512, 128, 100),
+                                  (1, 8, 2, 1024, 128, 700)]:
+        q, k, v = random_qkv(b, hq, s, d, heads_kv=hkv)
+        got, lse = fwd(q, k, v, causal=False, window_size=w)
+        lay = dict(flash.LAST_LAYOUT)
+        assert lay.get("win_strips", 0) > 0, (lay, (s, d, w))
+        assert lay.get("n_post", 0) == lay.get("n_pre"), lay
+        want, wlse = attention_reference_numpy(
+            q, k, v, causal=False, window_size=w, return_lse=True)
+        assert_close(got, want, *F32_TOL, f"bidi win-strip S={s} W={w}")
+        assert_close(lse, wlse, 1e-4, 1e-4, f"bidi win-strip lse W={w}")
+
+
+def test_window_nonqualifying_shapes_fall_back():
+    """W >= seq and ragged seq stay on the generic schedule — and stay
+    correct.  (Non-causal windows joined the banded path in r5; see
+    test_window_strip_kernel_bidirectional.)"""
+    from aule_tpu.ops import flash
 
     q, k, v = random_qkv(1, 4, 320, 128, heads_kv=2)  # ragged
     got, _ = fwd(q, k, v, causal=True, window_size=64)
     assert dict(flash.LAST_LAYOUT).get("win_strips", 0) == 0
     want = attention_reference_numpy(q, k, v, causal=True, window_size=64)
     assert_close(got, want, *F32_TOL, "ragged window fallback")
+
+    q, k, v = random_qkv(1, 4, 512, 128, heads_kv=2)  # W >= seq
+    got, _ = fwd(q, k, v, causal=False, window_size=600)
+    assert dict(flash.LAST_LAYOUT).get("win_strips", 0) == 0
+    want = attention_reference_numpy(q, k, v, window_size=600)
+    assert_close(got, want, *F32_TOL, "W>=seq window fallback")
