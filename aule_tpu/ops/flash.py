@@ -483,6 +483,9 @@ def _win_kernel(
     group: int,
     block_q: int,
     n_pre: int,
+    n_post: int,
+    causal: bool,
+    seq: int,
     win_strips: int,
     use_rope: bool,
     return_lse: bool,
@@ -520,7 +523,7 @@ def _win_kernel(
     seq % bq == 0.
     """
     refs = list(refs)
-    n_kv_in = n_pre + 1
+    n_kv_in = n_pre + 1 + n_post
     q_ref = refs[0]
     k_refs = refs[1:1 + n_kv_in]
     v_refs = refs[1 + n_kv_in:1 + 2 * n_kv_in]
@@ -564,10 +567,14 @@ def _win_kernel(
     for t in range(win_strips):
         rs = t * sh
         # strip t's live cols in band coordinates (row pos rs+x maps to
-        # band pos n_pre*bq + rs + x), rounded out to 128-lane groups
+        # band pos n_pre*bq + rs + x), rounded out to 128-lane groups;
+        # bidirectional windows extend the span +W above the diagonal
+        # (attention_f32.comp:173-187's half-window form)
         lo = max(0, (n_pre * block_q + rs - window)
                  // NUM_LANES * NUM_LANES)
-        hi = min(band, _round_up(n_pre * block_q + rs + sh, NUM_LANES))
+        hi = min(band, _round_up(
+            n_pre * block_q + rs + sh + (0 if causal else window),
+            NUM_LANES))
         w = hi - lo
         q = (q_ref[0, :, rs:rs + sh].astype(jnp.float32)
              * (scale * LOG2E)).astype(q_ref.dtype)        # [g, sh, D]
@@ -596,9 +603,16 @@ def _win_kernel(
             jnp.int32, (sh, w), 0) + i * block_q + rs
         cols = (jax.lax.broadcasted_iota(jnp.int32, (sh, w), 1)
                 + (i - n_pre) * block_q + lo)
-        mask = jnp.logical_and(
-            jnp.logical_and(rows_pos >= cols, cols >= 0),
-            rows_pos - cols <= window)
+        mask = jnp.logical_and(cols >= 0, rows_pos - cols <= window)
+        if causal:
+            mask = jnp.logical_and(mask, rows_pos >= cols)
+        else:
+            # cols < seq kills the top-clamped chunks (their assumed
+            # positions sit past the last block), mirroring cols >= 0
+            # for the bottom clamp
+            mask = jnp.logical_and(
+                mask, jnp.logical_and(cols - rows_pos <= window,
+                                      cols < seq))
         s = jnp.where(mask[None], s, DEFAULT_MASK_VALUE)
         # single-pass softmax: the strip sees its ENTIRE live span, so
         # no online (m, l) chain is needed (rows always include their
@@ -1246,7 +1260,9 @@ def _maybe_window_fwd(q, k, v, *, causal, scale, window, rope_cos,
                       block_kv_compute, interpret):
     """Dispatch to the banded window-strip schedule (_win_kernel) when
     the shape qualifies; returns None to fall through to the generic
-    schedule.  Gate: plain causal sliding window (0 < W < seq) on
+    schedule.  Gate: sliding window (0 < W < seq), causal OR
+    bidirectional (r5: the half-window form of attention_f32.comp:
+    173-187 rides the same band with n_post = n_pre extra chunks), on
     aligned self-attention with no explicit tile overrides."""
     import os as _os
     if _os.environ.get("AULE_FLASH_WIN", "1") in ("0", "false"):
@@ -1254,7 +1270,7 @@ def _maybe_window_fwd(q, k, v, *, causal, scale, window, rope_cos,
     batch, hq, seq_q, d = q.shape
     hkv, seq_k = k.shape[1], k.shape[2]
     group = hq // hkv
-    if not (causal and window > 0 and window < seq_k and kv_len is None
+    if not (window > 0 and window < seq_k and kv_len is None
             and seq_q == seq_k and block_q is None and block_kv is None
             and block_kv_compute is None):
         return None
@@ -1267,6 +1283,11 @@ def _maybe_window_fwd(q, k, v, *, causal, scale, window, rope_cos,
     d_scale = max(1, d // 128)
     rows_budget = 4096 // d_scale
     if jnp.dtype(q.dtype).itemsize >= 4:
+        rows_budget //= 2
+    if return_lse:
+        # the lane-replicated f32 LSE tile adds 4*128 bytes/row
+        # (double-buffered): at rows=4096 it pushed the training-path
+        # fwd 1.2M over the 16M scoped limit (r5 chip)
         rows_budget //= 2
     bq = max(NUM_LANES, (rows_budget // group) // NUM_LANES * NUM_LANES)
     bq = min(bq, seq_q)
@@ -1281,33 +1302,37 @@ def _maybe_window_fwd(q, k, v, *, causal, scale, window, rope_cos,
         return None
     win_strips = int(_os.environ.get("AULE_FLASH_WIN_STRIPS", "4"))
     # a strip's f32 score/probability temporaries are
-    # [group*sh, w <= W+sh+128]: cap them at ~1.5 MiB (chip-validated:
-    # 4 MiB strip temps fail Mosaic allocation) by raising the strip
-    # count until the worst-case width fits
+    # [group*sh, w <= span+sh+128] (span = W causal, 2W bidirectional):
+    # cap them at ~1.5 MiB (chip-validated: 4 MiB strip temps fail
+    # Mosaic allocation) by raising the strip count until the
+    # worst-case width fits
+    w_span = window if causal else 2 * window
+    n_band = _cdiv(window, bq) + 1 + (0 if causal else _cdiv(window, bq))
     while (win_strips < bq // 8
            and group * (bq // win_strips)
-           * min(window + bq // win_strips + NUM_LANES,
-                 (_cdiv(window, bq) + 1) * bq) * 4 > (3 << 19)):
+           * min(w_span + bq // win_strips + NUM_LANES,
+                 n_band * bq) * 4 > (3 << 19)):
         win_strips *= 2
     while win_strips > 1 and (bq % win_strips or (bq // win_strips) % 8):
         win_strips //= 2
     n_kv = seq_k // bq
     n_pre = _cdiv(window, bq)
+    n_post = 0 if causal else n_pre
 
     use_rope = rope_cos is not None
     half_d = d // 2
     n_q = seq_q // bq
     grid = (batch, hkv, n_q)
-    del n_kv
 
     def kv_index(c):  # band chunk c = kv block i - n_pre + c
         return lambda b, hk, i, c=c: (
-            b, hk, jnp.maximum(i - n_pre + c, 0), 0)
+            b, hk, jnp.clip(i - n_pre + c, 0, n_kv - 1), 0)
 
     def kv_index_rope(c):
-        return lambda b, hk, i, c=c: (jnp.maximum(i - n_pre + c, 0), 0)
+        return lambda b, hk, i, c=c: (
+            jnp.clip(i - n_pre + c, 0, n_kv - 1), 0)
 
-    n_in = n_pre + 1
+    n_in = n_pre + 1 + n_post
     in_specs = [
         pl.BlockSpec((1, group, bq, d), lambda b, hk, i: (b, hk, i, 0)),
     ]
@@ -1345,16 +1370,18 @@ def _maybe_window_fwd(q, k, v, *, causal, scale, window, rope_cos,
     scratch_shapes = []
     kernel = functools.partial(
         _win_kernel, scale=float(scale), window=window, group=group,
-        block_q=bq, n_pre=n_pre, win_strips=win_strips,
+        block_q=bq, n_pre=n_pre, n_post=n_post, causal=causal,
+        seq=seq_k, win_strips=win_strips,
         use_rope=use_rope, return_lse=return_lse,
     )
     if interpret is None:
         interpret = get_config().interpret or (
             jax.devices()[0].platform != "tpu")
-    flops = 4 * batch * hq * seq_q * min(window + 1, seq_k) * d
+    span = (window + 1) if causal else (2 * window + 1)
+    flops = 4 * batch * hq * seq_q * min(span, seq_k) * d
     LAST_LAYOUT.update(bq=bq, bkv=bq, bkvc=bq, group=group,
                        diag_strips=0, win_strips=win_strips,
-                       n_pre=n_pre, mono_hb=0, mono_sh=0)
+                       n_pre=n_pre, n_post=n_post, mono_hb=0, mono_sh=0)
     results = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1364,11 +1391,15 @@ def _maybe_window_fwd(q, k, v, *, causal, scale, window, rope_cos,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            # the bidirectional band's extra chunk inputs push the
+            # default 16M scoped limit by ~0.3M at rows=4096 (r5)
+            vmem_limit_bytes=int(
+                _os.environ.get("AULE_FLASH_MONO_VMEM", 100 << 20)),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=batch * hq * seq_q * min(window + 1, seq_k),
+            transcendentals=batch * hq * seq_q * min(span, seq_k),
         ),
         interpret=interpret,
     )(*args)
