@@ -72,7 +72,7 @@ def decode_speed_of_light_toks(batch: int, heads_kv: int, ctx: int,
 
 
 def benchmark(fn, *args, warmup: int = 3, iters: int = 20,
-              reps: int = 3) -> float:
+              reps: int = 3, return_spread: bool = False):
     """On-device per-iteration timing.
 
     Host-side timing around individual dispatches is unreliable on
@@ -114,7 +114,10 @@ def benchmark(fn, *args, warmup: int = 3, iters: int = 20,
         tN = time.perf_counter() - t0
         results.append((tN - t1) / (iters - 1))
     results.sort()
-    return results[len(results) // 2]
+    med = results[len(results) // 2]
+    if return_spread:
+        return med, (results[0], results[-1])
+    return med
 
 
 @contextlib.contextmanager

@@ -115,7 +115,10 @@ def bench_prefill(batch=4, hq=32, hkv=8, s=4096, d=128,
     return flops / dt / 1e12, dt
 
 
-def bench_fwd_bwd(batch=4, hq=32, hkv=8, s=2048, d=128, n_iters=5):
+def bench_fwd_bwd(batch=4, hq=32, hkv=8, s=2048, d=128, n_iters=20):
+    # n_iters>=20: shorter loops drown t(N)-t(1) in dispatch jitter
+    # (the r4 85-120 TF/s "honest band" was an under-repeating
+    # artifact; r5 reconciliation in BENCH_GRID.md)
     from aule_tpu.ops.flash_vjp import flash_attention_vjp
 
     rng = np.random.default_rng(0)
@@ -206,7 +209,8 @@ def main():
             tf, dtp = bench_prefill()
         except Exception as e:  # pragma: no cover
             log(f"prefill failed ({e!r:.200}); retrying with "
-                f"AULE_FLASH_DIAG=0")
+                f"AULE_FLASH_MONO=0 AULE_FLASH_DIAG=0")
+            os.environ["AULE_FLASH_MONO"] = "0"
             os.environ["AULE_FLASH_DIAG"] = "0"
             tf, dtp = bench_prefill()
         log(f"prefill bf16 B4 H32/8 S4096 D128 causal: {tf:.1f} TFLOP/s "

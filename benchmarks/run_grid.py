@@ -124,8 +124,13 @@ def main():
 
     print("\n== prefill fwd+bwd (bf16, causal) ==")
     for b, hq, hkv, s, d in [(1, 32, 8, 2048, 128), (4, 32, 8, 2048, 128)]:
+        # fwd+bwd rows need LONG loops: at iters<=10 the t(N)-t(1)
+        # subtraction drowns in dispatch jitter and medians wandered
+        # 85-120 TF/s at the same shape (r4 "honest band"); at iters
+        # >=20 (>=30 ms loop body) reps agree within ~5% (r5
+        # reconciliation, scripts note in BENCH_GRID.md)
         dt, tf = bench_prefill(b, hq, hkv, s, d, jnp.bfloat16,
-                               iters=max(5, args.iters // 2), backward=True)
+                               iters=max(20, args.iters), backward=True)
         name = f"B{b} Hq{hq} Hkv{hkv} S{s} D{d} +bwd"
         print(f"{name:<42} {dt*1e3:8.2f} {tf:9.1f} {tf/peak_tf:8.1%}")
 
