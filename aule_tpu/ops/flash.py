@@ -778,7 +778,9 @@ def _maybe_mono_fwd(q, k, v, *, causal, scale, window, rope_cos,
     if not (causal and window <= 0 and kv_len is None and seq_q == seq_k
             and block_q is None and block_kv is None
             and block_kv_compute is None and d == 128
-            and q.dtype == jnp.bfloat16 and 1024 <= seq_q <= 4096
+            and q.dtype == jnp.bfloat16
+            and 1024 <= seq_q <= int(_os.environ.get(
+                "AULE_FLASH_MONO_MAX_S", 4096))
             and seq_q % 128 == 0):
         return None
 
