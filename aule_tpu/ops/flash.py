@@ -809,26 +809,19 @@ def _maybe_mono_fwd(q, k, v, *, causal, scale, window, rope_cos,
         sh = int(env_sh) if env_sh else 128
         if seq_q % sh:
             return None
-        # hb (q heads per grid step): two regimes, r5 chip sweep.
-        # Large total work (>= ~1e11 FLOPs ~ 0.5 ms): hb=1 — minimal
-        # VMEM keeps DMA pipelining headroom and per-step overhead is
-        # already amortized (B8/S2048 hb1 142.2 vs hb4 131.6 TF/s;
-        # B4/S4096 hb1 142.4 vs hb4 139.8).  Small total work: the
-        # per-step fixed cost dominates, so batch heads until a step
-        # carries >= ~4 GFLOP (B1/S2048 hb4 136-189 vs hb1 118).
-        per_step = 2 * seq_q * seq_q * d
-        total = batch * hq * per_step
+        # hb (q heads per grid step): the largest GQA-group divisor
+        # (<= 8) whose VMEM budget fits.  QUIET-chip sweeps (rep spread
+        # < 5%, no concurrent host/chip load — earlier same-day sweeps
+        # were contaminated by a busy 1-core host biasing the
+        # t(N)-t(1) harness fast) show head batching wins at every
+        # measured shape: B4/S4096 hb4 142.9 vs hb1 134.6 TF/s;
+        # B8/S2048 hb4 131.3 vs hb1 110.5; B1/S2048 hb4 >> hb1.
+        # Fewer grid steps beats pipelining headroom.
         divisors = [h for h in range(1, gqa + 1) if gqa % h == 0]
         if env_hb:
             hb = int(env_hb)
-        elif total >= 1e11:
-            hb = 1
         else:
-            hb = divisors[-1]
-            for h in divisors:
-                if h * per_step >= 4e9:
-                    hb = h
-                    break
+            hb = max(h for h in divisors if h <= 8)
         while hb > 1 and budget(hb, sh) > cap:
             hb = max(h for h in divisors if h < hb)
         if budget(hb, sh) > cap:

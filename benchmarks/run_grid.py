@@ -49,8 +49,14 @@ def bench_prefill(b, hq, hkv, s, d, dtype, causal=True, window=-1,
         f = jax.jit(lambda q, k, v: flash_attention_fwd(
             q, k, v, causal=causal, window_size=window, return_lse=False,
             interpret=False))
-    dt = benchmark(f, q, k, v, iters=iters)
     flops = attention_flops(b, hq, s, s, d, causal, window, backward)
+    # small rows need LONG loops (>=40 ms body at an optimistic rate):
+    # B1/S2048 and the window rows printed physically impossible numbers
+    # (166% roofline, 0.25x window "speedup") at fixed iters=20 — the
+    # t(N)-t(1) subtraction drowns in dispatch jitter (same artifact as
+    # the decode rows and the fwd+bwd band; BENCH_GRID r5)
+    iters = max(iters, min(2000, int(0.04 / (flops / 1.5e14)) + 1))
+    dt = benchmark(f, q, k, v, iters=iters)
     return dt, flops / dt / 1e12
 
 
